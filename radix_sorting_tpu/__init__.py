@@ -1,0 +1,41 @@
+"""radix_sorting_tpu — a TPU-native vectorized sort-execution framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capability set of
+eloj/radix-sorting (see SURVEY.md at the repo root): stable value/record/rank
+sorting for all fixed-width key types via key-derivation transforms, counting
+and bitmap fast paths, multipass 64-bit composition, column-skip and
+presorted-input elision — single chip and across TPU meshes.
+
+Public API:
+  sort, argsort/rank_sort, sort_pairs, counting_sort, sort_u64_multipass,
+  bitmap_unique_sort, SortConfig/Strategy, and the models.* sorter zoo.
+Distributed:
+  parallel.distributed_sort over a jax.sharding.Mesh.
+"""
+
+from .api import (
+    argsort,
+    counting_sort,
+    rank_sort,
+    sort,
+    sort_pairs,
+    sort_u64_multipass,
+)
+from .config import DEFAULT_CONFIG, SortConfig, Strategy
+from .ops.bitmap import bitmap_unique_sort
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "sort",
+    "argsort",
+    "rank_sort",
+    "sort_pairs",
+    "counting_sort",
+    "sort_u64_multipass",
+    "bitmap_unique_sort",
+    "SortConfig",
+    "Strategy",
+    "DEFAULT_CONFIG",
+    "__version__",
+]

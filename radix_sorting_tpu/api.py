@@ -1,0 +1,312 @@
+"""Public sort API: typed, stable, strategy-dispatched TPU sorts.
+
+This is the counterpart of the reference's public surface:
+
+  ``radix_sort(src, aux, n, kf) -> T*``        (`radix_sort.hpp:98-115`)
+  ``radix_sort_rank(src, ib, n, kf) -> Idx*``  (`radix_sort_rank.hpp:97-112`)
+  ``counting_sort_8 / _8s / _rec_sk``          (`counting_sort_8.c`, `_8s.c`, `_rec_sk.c`)
+  ``radix_sort_u32_multipass`` (u64 via 2x32)  (`radix_sort_u64_multipass.c:117-118`)
+
+Differences, by TPU design rather than accident:
+
+* **Functional**: no aux buffer / ping-pong pointer in the API; XLA owns
+  buffering. The reference returns "whichever buffer holds the result"
+  (`radix_sort.hpp:92`) — here that is simply the returned array.
+* **KDF is still the single extension point** (`README.md:543-627`): every
+  path KDF-encodes to unsigned word planes, sorts ascending, decodes.
+  Descending = derived-key complement (`README.md:566-574`).
+* **Keys-only sorts never move data**: they sort the derived words and decode,
+  and for small live domains they *regenerate* output from the histogram
+  (COUNTING path) — see :mod:`.ops.counting_engine`.
+* 64-bit keys are two uint32 planes (multipass-native); numpy 64-bit inputs
+  work without enabling ``jax_enable_x64`` (split host-side), jax 64-bit
+  arrays work when x64 is enabled.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import DEFAULT_CONFIG, SortConfig, Strategy
+from .ops import counting_engine, hw_engine, kdf, lsd_engine, probes
+
+__all__ = [
+    "sort",
+    "argsort",
+    "rank_sort",
+    "sort_pairs",
+    "counting_sort",
+    "sort_u64_multipass",
+]
+
+
+# ---------------------------------------------------------------------------
+# input normalization
+
+
+def _as_words(x, descending: bool) -> Tuple[Tuple[jax.Array, ...], Any]:
+    """KDF-encode an input array (jax or numpy) into uint32 word planes.
+
+    Returns (words, original_dtype). Handles 64-bit numpy inputs without x64 by
+    splitting into hi/lo planes host-side.
+    """
+    if isinstance(x, np.ndarray) and x.dtype.itemsize == 8 and not jax.config.jax_enable_x64:
+        u = x.view(np.uint64)
+        hi = jnp.asarray((u >> np.uint64(32)).astype(np.uint32))
+        lo = jnp.asarray(u.astype(np.uint32))
+        # Apply the 64-bit KDF rules on the planes (see ops/kdf.py).
+        kind = np.dtype(x.dtype).kind
+        if kind == "i":
+            hi = hi ^ np.uint32(0x80000000)
+        elif kind == "f":
+            sign = hi >> np.uint32(31)
+            ext = jnp.zeros_like(hi) - sign
+            hi = hi ^ (ext | np.uint32(0x80000000))
+            lo = lo ^ ext
+        words = (hi, lo)
+        if descending:
+            words = kdf.complement(words)
+        return words, np.dtype(x.dtype)
+    xa = jnp.asarray(x)
+    if xa.ndim != 1:
+        raise ValueError(f"keys must be 1-D, got shape {xa.shape}")
+    return kdf.encode(xa, descending=descending), xa.dtype
+
+
+def _decode(words, dtype, descending: bool):
+    if isinstance(dtype, np.dtype) and dtype.itemsize == 8 and not jax.config.jax_enable_x64:
+        hi, lo = (kdf.complement(words) if descending else words)
+        kind = dtype.kind
+        hi_np = np.asarray(hi).astype(np.uint64)
+        lo_np = np.asarray(lo).astype(np.uint64)
+        if kind == "i":
+            hi_np = hi_np ^ np.uint64(0x80000000)
+        elif kind == "f":
+            nonneg = (hi_np >> np.uint64(31)) & np.uint64(1)
+            ext = np.where(nonneg == 1, np.uint64(0), np.uint64(0xFFFFFFFF))
+            hi_np = np.where(nonneg == 1, hi_np ^ np.uint64(0x80000000),
+                             ~hi_np & np.uint64(0xFFFFFFFF))
+            lo_np = lo_np ^ ext
+        return ((hi_np << np.uint64(32)) | lo_np).view(dtype)
+    return kdf.decode(words, dtype, descending=descending)
+
+
+def _flatten_payload(values):
+    if values is None:
+        return (), None
+    leaves, treedef = jax.tree.flatten(values)
+    n = None
+    out = []
+    for leaf in leaves:
+        a = jnp.asarray(leaf)
+        if a.ndim != 1:
+            raise ValueError("payload leaves must be 1-D arrays")
+        if n is None:
+            n = a.shape[0]
+        elif a.shape[0] != n:
+            raise ValueError("payload leaves must share the key length")
+        out.append(a)
+    return tuple(out), treedef
+
+
+def _static_live_mask(words, value_mask, dtype, cfg: SortConfig) -> Optional[int]:
+    """Static live-bit mask for the COUNTING path, or None if inapplicable.
+
+    Static knowledge comes from (a) the dtype's width for narrow integer keys
+    — the `counting_sort_8.c` domain — or (b) an explicit ``value_mask``
+    (the reference CLI's skip-forcing hex mask, `radix_experiment.cpp:188-198`;
+    keys must already be masked by the caller, as the reference does).
+    """
+    if len(words) != 1:
+        return None
+    bits = jnp.dtype(dtype).itemsize * 8 if not isinstance(dtype, np.dtype) else dtype.itemsize * 8
+    kind = jnp.dtype(dtype).kind
+    mask = None
+    if value_mask is not None:
+        mask = int(value_mask) & 0xFFFFFFFF
+        if bits < 32:
+            mask &= (1 << bits) - 1
+        if kind == "f":
+            # The float KDF inverts *all* bits of negative keys
+            # (`radix_sort_basic_kdf.hpp:32-38`), so a mask admitting negative
+            # values spreads liveness beyond the masked positions. Only
+            # all-non-negative masked floats keep a positional live mask
+            # (derived key = bits | highbit, sign position dead-constant).
+            if mask & (1 << (bits - 1)):
+                return None
+        # Signed-int KDF is a positional sign-bit XOR: live positions of the
+        # derived key equal the live positions of the raw bits.
+    elif kind in ("u", "i") and bits <= cfg.counting_max_bits:
+        mask = (1 << bits) - 1
+    if mask is None:
+        return None
+    if bin(mask).count("1") > cfg.counting_max_bits:
+        return None
+    return mask
+
+
+# ---------------------------------------------------------------------------
+# public ops
+
+
+def sort(x, *, config: SortConfig = DEFAULT_CONFIG, value_mask: Optional[int] = None):
+    """Stable sort of a 1-D key array. Returns the sorted array (same dtype).
+
+    The keys-only equivalent of `radix_sort(src, aux, n)` (`radix_sort.hpp:98`).
+
+    ``value_mask`` is a static *promise* that every key satisfies
+    ``key == key & value_mask`` (the CLI's column-skip knob,
+    `radix_experiment.cpp:188-198` — the reference likewise masks the data
+    before sorting). It enables the COUNTING fast path when few bits are
+    live. A violated promise silently truncates keys to the mask, exactly as
+    feeding unmasked data to the reference's masked experiment would; mask
+    the data first (``x & mask``) if unsure.
+    """
+    cfg = config
+    words, dtype = _as_words(x, cfg.descending)
+    n = int(words[0].shape[0])
+    if n <= 1:
+        return x if not isinstance(x, np.ndarray) else x.copy()
+
+    strategy = cfg.strategy
+    if strategy == Strategy.AUTO:
+        mask = _static_live_mask(words, value_mask, dtype, cfg)
+        # descending complement flips dead bits too; counting path compacts the
+        # *complemented* live bits, so pass the complemented mask
+        if mask is not None:
+            strategy = Strategy.COUNTING
+        else:
+            strategy = Strategy.HW_SORT
+    elif strategy == Strategy.COUNTING:
+        mask = _static_live_mask(words, value_mask, dtype, cfg)
+        if mask is None:
+            raise ValueError(
+                "COUNTING strategy needs a narrow key dtype or a value_mask with "
+                f"<= {cfg.counting_max_bits} live bits"
+            )
+
+    if strategy == Strategy.COUNTING:
+        # The descending complement is a positional bit-flip, so the live-bit
+        # *positions* are unchanged; the counting engine sorts the (possibly
+        # complemented) word ascending and decode() restores order and values.
+        (w,) = words
+        sorted_w = counting_engine.sort_word_counting(w, mask)
+        return _decode((sorted_w,), dtype, cfg.descending)
+
+    if strategy == Strategy.LSD:
+        sw, _ = lsd_engine.sort_words_lsd(
+            words, (), radix_bits=cfg.radix_bits, chunk=cfg.lsd_chunk,
+            skip_trivial=cfg.skip_trivial_digits,
+        )
+        return _decode(sw, dtype, cfg.descending)
+
+    # HW_SORT
+    if cfg.detect_presorted:
+        sw, _ = hw_engine.sort_words_presort_guard(words)
+    else:
+        sw, _ = hw_engine.sort_words(words)
+    return _decode(sw, dtype, cfg.descending)
+
+
+def argsort(x, *, config: SortConfig = DEFAULT_CONFIG, index_dtype=jnp.uint32):
+    """Stable argsort: the rank/index sort (`radix_sort_rank.hpp:97-112`).
+
+    The input is never modified (the reference takes ``const T* RESTRICT``);
+    returns the unique stable permutation as ``index_dtype``.
+    """
+    cfg = config
+    words, _ = _as_words(x, cfg.descending)
+    n = int(words[0].shape[0])
+    iota = jnp.arange(n, dtype=index_dtype)
+    if n <= 1:
+        return iota
+
+    if cfg.strategy == Strategy.LSD:
+        _, (perm,) = lsd_engine.sort_words_lsd(
+            words, (iota,), radix_bits=cfg.radix_bits, chunk=cfg.lsd_chunk,
+            skip_trivial=cfg.skip_trivial_digits,
+        )
+        return perm
+    if cfg.detect_presorted:
+        _, (perm,) = hw_engine.sort_words_presort_guard(words, (iota,))
+    else:
+        _, (perm,) = hw_engine.sort_words(words, (iota,))
+    return perm
+
+
+# Reference naming alias: rank sort == argsort (`radix_sort_rank.hpp:7`).
+rank_sort = argsort
+
+
+def sort_pairs(keys, values, *, config: SortConfig = DEFAULT_CONFIG):
+    """Stable sort of keys carrying an arbitrary payload pytree of 1-D arrays.
+
+    The record-sort capability (`counting_sort_rec_sk.c:14-41`,
+    `radix_tests.cpp:45-69`): the reference sorts structs via a key-extraction
+    function; the TPU-idiomatic equivalent is structure-of-arrays payload
+    permutation in the same fused sort.
+    """
+    cfg = config
+    words, dtype = _as_words(keys, cfg.descending)
+    leaves, treedef = _flatten_payload(values)
+    n = int(words[0].shape[0])
+    if n != (leaves[0].shape[0] if leaves else n):
+        raise ValueError("keys and payload lengths differ")
+
+    if cfg.strategy == Strategy.LSD:
+        sw, sp = lsd_engine.sort_words_lsd(
+            words, leaves, radix_bits=cfg.radix_bits, chunk=cfg.lsd_chunk,
+            skip_trivial=cfg.skip_trivial_digits,
+        )
+    elif cfg.detect_presorted:
+        sw, sp = hw_engine.sort_words_presort_guard(words, leaves)
+    else:
+        sw, sp = hw_engine.sort_words(words, leaves)
+    sorted_keys = _decode(sw, dtype, cfg.descending)
+    sorted_values = jax.tree.unflatten(treedef, sp) if treedef is not None else None
+    return sorted_keys, sorted_values
+
+
+def counting_sort(keys, values=None, *, config: SortConfig = DEFAULT_CONFIG):
+    """Counting sort for narrow integer keys (<= 16 bits).
+
+    Keys-only: regeneration path (`counting_sort_8.c` semantics — O(n + B),
+    no data movement). With payload: the stable scatter form
+    (`counting_sort_8s.c`, record form `counting_sort_rec_sk.c`), realized as
+    a single stable sort by the narrow derived key.
+    """
+    bits = jnp.dtype(jnp.asarray(keys).dtype).itemsize * 8
+    if bits > 16:
+        raise TypeError("counting_sort requires a key dtype of <= 16 bits")
+    if values is None:
+        cfg = config.replace(
+            strategy=Strategy.AUTO,
+            counting_max_bits=max(config.counting_max_bits, bits),
+        )
+        return sort(keys, config=cfg)
+    return sort_pairs(keys, values, config=config)
+
+
+def sort_u64_multipass(x, *, config: SortConfig = DEFAULT_CONFIG):
+    """64-bit sort as two chained stable 32-bit sorts.
+
+    The explicit multipass composition of `radix_sort_u64_multipass.c:117-118`:
+    sort by the low word, then stable-sort by the high word — correct only
+    because each pass is stable (`README.md:471-473`). The general :func:`sort`
+    handles 64-bit keys as one two-word sort; this entry point exists to keep
+    the multipass contract itself tested and benchmarkable.
+    """
+    cfg = config
+    words, dtype = _as_words(x, cfg.descending)
+    if len(words) != 2:
+        raise TypeError("sort_u64_multipass requires a 64-bit key dtype")
+    hi, lo = words
+    # pass 1: keyshift 0 — sort by low word, carry high word
+    (lo1,), (hi1,) = hw_engine.sort_words((lo,), (hi,))
+    # pass 2: keyshift 32 — stable sort by high word, carry low word
+    (hi2,), (lo2,) = hw_engine.sort_words((hi1,), (lo1,))
+    return _decode((hi2, lo2), dtype, cfg.descending)

@@ -1,0 +1,84 @@
+"""Configuration for the TPU sort-execution engine.
+
+The reference configures its engine with compile-time template parameters and
+make vars (`radix_sort.hpp:98-115` counter-width dispatch, `Makefile:14-40`);
+here a single dataclass covers the same knobs plus the TPU-specific ones
+(execution strategy, mesh/sharding, pass width).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+__all__ = ["SortConfig", "Strategy", "DEFAULT_CONFIG"]
+
+
+class Strategy:
+    """Execution strategies for the single-chip engine.
+
+    AUTO      pick per-call: probes (presorted / live-digit) choose the cheapest
+              applicable path, mirroring the reference's runtime early-exit and
+              column-skip behavior (`radix_sort.hpp:47-70`).
+    HW_SORT   derived-key sort on the hardware sort unit (XLA's optimized
+              compare-exchange sorter) — the general workhorse.
+    COUNTING  histogram + regenerate for keys-only sorts over small live domains
+              (<= 2**counting_max_bits distinct live bit-patterns); the
+              TPU-native generalization of `counting_sort_8.c` and the payoff of
+              column skipping (`README.md:671-714`).
+    LSD       the faithful chunked LSD radix engine (per-digit histogram →
+              exclusive scan → stable scatter with ping-pong), structured like
+              `radix_sort.hpp:31-93`; the blueprint for the Pallas exchange
+              kernels and the distributed shuffle.
+    """
+
+    AUTO = "auto"
+    HW_SORT = "hw_sort"
+    COUNTING = "counting"
+    LSD = "lsd"
+
+    ALL = (AUTO, HW_SORT, COUNTING, LSD)
+
+
+@dataclasses.dataclass(frozen=True)
+class SortConfig:
+    """Knobs for the sort engine.
+
+    Attributes:
+      strategy: execution strategy, see :class:`Strategy`.
+      radix_bits: digit width for the LSD engine and distributed shuffle.
+        The reference's tuned default is 8 (`README.md:316-335`), with 11-bit
+        digits studied (`README.md:781-811`); both are supported.
+      descending: sort order. Implemented via derived-key complement
+        (`README.md:566-574`), preserving stability.
+      counting_max_bits: ceiling on live-domain width for the COUNTING path.
+      lsd_chunk: elements per chunk in the LSD engine's tile decomposition
+        (the distributed-memory generalization of `cnt[k]++`,
+        `counting_sort_8s.c:23-34`).
+      detect_presorted: early-exit on already-sorted input
+        (`radix_sort.hpp:48-62`, `README.md:652-669`).
+      skip_trivial_digits: elide passes whose digit is constant across all keys
+        (column skipping, `radix_sort.hpp:64-70`, diagram `data/colskip.dot`).
+    """
+
+    strategy: str = Strategy.AUTO
+    radix_bits: int = 8
+    descending: bool = False
+    counting_max_bits: int = 10
+    lsd_chunk: int = 8192
+    detect_presorted: bool = True
+    skip_trivial_digits: bool = True
+
+    def __post_init__(self):
+        if self.strategy not in Strategy.ALL:
+            raise ValueError(f"unknown strategy {self.strategy!r}; one of {Strategy.ALL}")
+        if not (1 <= self.radix_bits <= 16):
+            raise ValueError("radix_bits must be in [1, 16]")
+        if self.lsd_chunk <= 0:
+            raise ValueError("lsd_chunk must be positive")
+
+    def replace(self, **kw) -> "SortConfig":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT_CONFIG = SortConfig()

@@ -1,0 +1,93 @@
+"""COUNTING engine: histogram + regeneration for small live domains.
+
+The reference's in-place counting sort (`counting_sort_8.c:5-21`) rewrites the
+array *from its histogram* — for a keys-only sort the sorted output is fully
+determined by the counts, no data movement needed. That observation is worth
+far more on TPU than on CPU: regeneration is a dense, scatter-free computation
+that runs at vector speed, while any permutation-based path pays the
+data-dependent-addressing tax.
+
+Pipeline (keys-only, live domain of B = 2**k distinct bit patterns):
+
+  1. compact the live bits of the derived key (vectorized PEXT; the key
+     compaction the reference describes at `README.md:716-758`) so the domain
+     is dense in [0, B);
+  2. B-bin histogram (dense compare-reduce, :mod:`.histogram`);
+  3. inclusive scan -> cumulative counts ``cum``;
+  4. regenerate: ``out[j] = #{b : cum[b] <= j}`` — a compare-reduce against the
+     (tiny) cum vector; this is exactly "value v appears hist[v] times,
+     in order" (`counting_sort_8.c:14-19`) without any scatter;
+  5. expand live bits (PDEP) and KDF-decode back to values.
+
+Applicability: uint8/int8 keys always (B = 256, the `counting_sort_8.c`
+domain); any dtype whose *live-bit* count fits the configured budget — which
+is what makes column skipping (`README.md:671-714`) a throughput feature here:
+a 0xF0F00000-masked u32 input (the reference's skip-forcing experiment knob,
+`radix_experiment.cpp:188-198`) sorts at histogram speed.
+
+For key+payload counting sorts (the `counting_sort_8s.c` contract) stability
+of the permutation matters and regeneration does not apply; the dispatcher
+routes those to a stable sort by the (narrow) derived key.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import probes
+from .histogram import digit_histogram
+
+__all__ = ["counting_sort_compact", "sort_word_counting"]
+
+
+@partial(jax.jit, static_argnames=("bins", "block"))
+def counting_sort_compact(c: jax.Array, bins: int, block: int = 1 << 20) -> jax.Array:
+    """Sort a dense-domain uint32 vector (values < bins) by regeneration.
+
+    Returns the sorted vector; O(n * bins) dense ops, zero scatters.
+    """
+    n = c.shape[0]
+    hist = digit_histogram(c, bins)                     # (bins,) int32
+    cum = jnp.cumsum(hist, dtype=jnp.int32)             # inclusive
+    # out[j] = number of buckets fully emitted at or before position j
+    #        = sum_b 1[cum[b] <= j]
+    j = jnp.arange(n, dtype=jnp.int32)
+
+    def regen(jblk):
+        return jnp.sum(
+            (cum[None, :] <= jblk[:, None]).astype(jnp.uint32), axis=1, dtype=jnp.uint32
+        )
+
+    if n <= block:
+        return regen(j)
+    # blocked to bound the transient compare matrix
+    nb = -(-n // block)
+    jpad = jnp.arange(nb * block, dtype=jnp.int32)
+    out = jax.lax.map(regen, jpad.reshape(nb, block)).reshape(-1)
+    return out[:n]
+
+
+def sort_word_counting(w: jax.Array, live_mask: int, descending: bool = False) -> jax.Array:
+    """Keys-only sort of a single derived-key word with a *static* live-bit mask.
+
+    ``live_mask`` is the static OR^AND live-bit mask (host int). The number of
+    set bits determines the bin count; callers enforce the budget
+    (``SortConfig.counting_max_bits``).
+    """
+    live_mask = int(live_mask)
+    nbits = bin(live_mask).count("1")
+    bins = 1 << nbits
+    c = probes.compact_live_bits(w, live_mask)
+    if descending:
+        c = np.uint32(bins - 1) - c
+    s = counting_sort_compact(c, bins)
+    if descending:
+        s = np.uint32(bins - 1) - s
+    out = probes.expand_live_bits(s, live_mask)
+    # Restore the constant (dead) bits, identical across all keys.
+    dead = w[0] & np.uint32(~live_mask & 0xFFFFFFFF)
+    return out | dead

@@ -1,0 +1,235 @@
+"""Key-derivation functions (KDF): order-preserving bijections into unsigned words.
+
+TPU-native re-design of the reference KDF library (`radix_sort_basic_kdf.hpp:10-48`).
+The reference maps any fixed-width key type ``T`` to an unsigned integer of the same
+width such that ``kdf(a) < kdf(b)  <=>  a < b`` (in the desired order), which lets a
+single unsigned radix engine sort every type:
+
+* unsigned ints: identity                      (`radix_sort_basic_kdf.hpp:19-23`)
+* signed ints:   flip the sign bit             (`radix_sort_basic_kdf.hpp:26-30`)
+* float32:       ``x ^ (-(x >> 31) | 0x80000000)``  (`radix_sort_basic_kdf.hpp:32-38`)
+* float64:       the 64-bit analog             (`radix_sort_basic_kdf.hpp:40-46`)
+* descending order: complement the derived key (`README.md:566-574`)
+
+TPU-first differences from the reference:
+
+* Keys are encoded into one or two **uint32 words** (``(w,)`` for <=32-bit keys,
+  ``(hi, lo)`` for 64-bit keys, most significant first). TPU vector lanes are
+  32-bit; 64-bit arithmetic is emulated and ``jax_enable_x64`` is off by default,
+  so the natural device representation of a 64-bit key is a pair of u32 planes.
+  This is also exactly the shape the multipass engine wants
+  (`radix_sort_u64_multipass.c:117-118`: a 64-bit sort is two chained stable
+  32-bit sorts), so the KDF produces multipass-ready words directly.
+* The KDF here is a **bijection with an explicit inverse** (`decode``). For
+  keys-only sorts the engine sorts the derived words and *decodes* the result,
+  instead of carrying the original values as payload — halving data movement.
+* bfloat16/float16 are first-class (TPU-native dtypes), via the same
+  sign-mangle rule applied at their width.
+
+All functions are jit-compatible and shape-preserving.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+__all__ = [
+    "encode",
+    "decode",
+    "num_words",
+    "key_bits",
+    "complement",
+    "SUPPORTED_DTYPES",
+]
+
+_U32 = jnp.uint32
+_HIGHBIT32 = np.uint32(0x80000000)
+
+# Key dtypes the framework sorts natively (reference supports u8..u64, i32, i64,
+# f32, f64 via its CLI dispatch, `radix_experiment.cpp:264-279`; we add the rest
+# of the signed widths plus the TPU half-precision floats).
+SUPPORTED_DTYPES = (
+    "uint8", "uint16", "uint32", "uint64",
+    "int8", "int16", "int32", "int64",
+    "float16", "bfloat16", "float32", "float64",
+)
+
+
+def _canonical_dtype(dtype) -> np.dtype:
+    d = jnp.dtype(dtype)
+    if d.name not in SUPPORTED_DTYPES:
+        raise TypeError(f"unsupported key dtype {d.name}; supported: {SUPPORTED_DTYPES}")
+    return d
+
+
+def kind(dtype) -> str:
+    """'u' / 'i' / 'f' — robust to ml_dtypes (bfloat16 reports numpy kind 'V')."""
+    d = _canonical_dtype(dtype)
+    if jnp.issubdtype(d, jnp.floating):
+        return "f"
+    if jnp.issubdtype(d, jnp.unsignedinteger):
+        return "u"
+    return "i"
+
+
+def key_bits(dtype) -> int:
+    """Width of the key type in bits."""
+    d = _canonical_dtype(dtype)
+    return d.itemsize * 8
+
+
+def num_words(dtype) -> int:
+    """Number of uint32 planes the encoded key occupies (1 for <=32-bit, 2 for 64-bit)."""
+    return 2 if key_bits(dtype) == 64 else 1
+
+
+def _split64(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Split a 64-bit array into (hi, lo) uint32 planes without requiring x64 mode.
+
+    Works by bitcasting each 64-bit element to a ``(... , 2)`` uint32 view and
+    unpacking according to host endianness (JAX bitcast follows the platform's
+    little-endian layout).
+    """
+    v = lax.bitcast_convert_type(x, _U32)  # shape (..., 2), little-endian: [lo, hi]
+    return v[..., 1], v[..., 0]
+
+
+def _join64(hi: jax.Array, lo: jax.Array, dtype) -> jax.Array:
+    v = jnp.stack([lo, hi], axis=-1)
+    return lax.bitcast_convert_type(v, jnp.dtype(dtype))
+
+
+def _flip_sign_bit(w: jax.Array, bits: int) -> jax.Array:
+    return w ^ np.uint32(1 << (bits - 1))
+
+
+def _float_mangle(w: jax.Array, bits: int) -> jax.Array:
+    """Map raw float bits to an order-preserving unsigned key.
+
+    Reference rule (`radix_sort_basic_kdf.hpp:32-38`):
+    ``key = bits ^ (-(bits >> (B-1)) | (1 << (B-1)))`` — negative floats have all
+    bits inverted (reversing their order), non-negative floats get the sign bit
+    set. Total order: -NaN < -inf < ... < -0 < +0 < ... < +inf < +NaN, matching
+    the reference's observable ordering on the `radix_tests.cpp:157` fixture.
+    """
+    live = np.uint32((1 << bits) - 1) if bits < 32 else np.uint32(0xFFFFFFFF)
+    sign = w >> np.uint32(bits - 1)
+    mask = ((jnp.zeros_like(w) - sign) & live) | np.uint32(1 << (bits - 1))
+    return w ^ mask
+
+
+def _float_unmangle(k: jax.Array, bits: int) -> jax.Array:
+    # Inverse: keys with the high bit set were non-negative (just clear it);
+    # keys with the high bit clear were negative (invert all bits).
+    highbit = np.uint32(1 << (bits - 1))
+    was_nonneg = (k & highbit) != 0
+    return jnp.where(was_nonneg, k ^ highbit, ~k & np.uint32((1 << bits) - 1))
+
+
+def encode(x: jax.Array, descending: bool = False) -> Tuple[jax.Array, ...]:
+    """Encode keys into order-preserving uint32 word planes (most significant first).
+
+    Returns ``(w,)`` for keys of <=32 bits (narrow keys are zero-extended so only
+    the low ``key_bits`` of ``w`` are live — the column-skip probe then elides the
+    dead high digits, mirroring `radix_sort.hpp:64-70`), or ``(hi, lo)`` for
+    64-bit keys.
+
+    ``descending=True`` complements the derived key (`README.md:566-574`), so a
+    single ascending engine produces stable descending sorts, exactly like the
+    reference's ``~kdf`` wrappers (`radix_tests.cpp:111-113,175-177`).
+    """
+    d = _canonical_dtype(x.dtype)
+    bits = d.itemsize * 8
+    k = kind(d)
+
+    if bits == 64:
+        if k == "u":
+            hi, lo = _split64(x)
+        elif k == "i":
+            hi, lo = _split64(x)
+            hi = _flip_sign_bit(hi, 32)
+        elif k == "f":
+            hi, lo = _split64(x)
+            sign = hi >> np.uint32(31)
+            ext = jnp.zeros_like(hi) - sign          # 0x00000000 or 0xFFFFFFFF
+            hi = hi ^ (ext | _HIGHBIT32)
+            lo = lo ^ ext
+        else:  # pragma: no cover
+            raise TypeError(d)
+        words = (hi, lo)
+    else:
+        if k == "u":
+            w = x.astype(_U32)
+        elif k == "i":
+            # Sign-flip at the native width, then zero-extend: reinterpret as
+            # unsigned of the same width, XOR the native sign bit.
+            uw = lax.bitcast_convert_type(x, jnp.dtype(f"uint{bits}")).astype(_U32)
+            w = _flip_sign_bit(uw, bits)
+        elif k == "f":
+            uw = lax.bitcast_convert_type(x, jnp.dtype(f"uint{bits}")).astype(_U32)
+            w = _float_mangle(uw, bits)
+        else:  # pragma: no cover
+            raise TypeError(d)
+        words = (w,)
+
+    if descending:
+        live = np.uint32((1 << min(bits, 32)) - 1 if bits < 32 else 0xFFFFFFFF)
+        # Complement only the live bits so narrow keys stay zero-extended and
+        # the dead high digits remain skippable.
+        words = tuple((~w) & live if bits < 32 and i == len(words) - 1 else ~w
+                      for i, w in enumerate(words))
+    return words
+
+
+def decode(words: Sequence[jax.Array], dtype, descending: bool = False) -> jax.Array:
+    """Inverse of :func:`encode`: recover original key values from derived words."""
+    d = _canonical_dtype(dtype)
+    bits = d.itemsize * 8
+    k = kind(d)
+
+    if descending:
+        if bits < 32:
+            live = np.uint32((1 << bits) - 1)
+            words = tuple((~w) & live for w in words)
+        else:
+            words = tuple(~w for w in words)
+
+    if bits == 64:
+        hi, lo = words
+        if k == "u":
+            pass
+        elif k == "i":
+            hi = _flip_sign_bit(hi, 32)
+        elif k == "f":
+            was_nonneg = (hi & _HIGHBIT32) != 0
+            ext = jnp.where(was_nonneg, np.uint32(0), np.uint32(0xFFFFFFFF))
+            hi = jnp.where(was_nonneg, hi ^ _HIGHBIT32, ~hi)
+            lo = lo ^ ext
+        return _join64(hi, lo, d)
+
+    (w,) = words
+    if k == "u":
+        return w.astype(d) if bits < 32 else lax.bitcast_convert_type(w, d)
+    if k == "i":
+        uw = _flip_sign_bit(w, bits)
+        if bits < 32:
+            uw = uw.astype(jnp.dtype(f"uint{bits}"))
+        return lax.bitcast_convert_type(uw, d)
+    # float
+    uw = _float_unmangle(w, bits)
+    if bits < 32:
+        uw = uw.astype(jnp.dtype(f"uint{bits}"))
+    return lax.bitcast_convert_type(uw, d)
+
+
+def complement(words: Sequence[jax.Array]) -> Tuple[jax.Array, ...]:
+    """Complement derived keys: ascending-engine input for a descending sort.
+
+    Equivalent of the reference's ``~kf(x)`` trick (`README.md:566-574`).
+    """
+    return tuple(~w for w in words)

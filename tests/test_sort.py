@@ -1,0 +1,141 @@
+"""Value-sort tests across dtypes, strategies, and degenerate inputs.
+
+Mirrors `radix_tests.cpp`: 50k random ints forward + reverse (`test_int`,
+:179-207), float edge cases (`test_float`, :156-173), plus the degeneracy
+injectors SURVEY §5 calls for (constant, presorted, reverse, masked).
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+import radix_sorting_tpu as rst
+from radix_sorting_tpu.utils import verify
+
+STRATEGIES = [rst.Strategy.AUTO, rst.Strategy.HW_SORT, rst.Strategy.LSD]
+
+
+def _np_sorted(x, descending=False):
+    s = np.sort(np.asarray(x), kind="stable")
+    return s[::-1] if descending else s
+
+
+@pytest.mark.parametrize("strategy", STRATEGIES)
+@pytest.mark.parametrize("dtype", ["uint8", "uint16", "uint32", "int8", "int16", "int32"])
+def test_random_ints(rng, strategy, dtype):
+    d = np.dtype(dtype)
+    info = np.iinfo(d)
+    x = rng.integers(info.min, int(info.max) + 1, size=50_000, dtype=d)
+    cfg = rst.SortConfig(strategy=strategy)
+    out = np.asarray(rst.sort(jnp.asarray(x), config=cfg))
+    assert np.array_equal(out, _np_sorted(x))
+
+
+@pytest.mark.parametrize("dtype", ["uint32", "int32"])
+def test_random_ints_descending(rng, dtype):
+    d = np.dtype(dtype)
+    info = np.iinfo(d)
+    x = rng.integers(info.min, int(info.max) + 1, size=50_000, dtype=d)
+    cfg = rst.SortConfig(descending=True)
+    out = np.asarray(rst.sort(jnp.asarray(x), config=cfg))
+    assert np.array_equal(out, _np_sorted(x, descending=True))
+    assert verify.is_sorted(out, descending=True)
+
+
+@pytest.mark.parametrize("strategy", STRATEGIES)
+def test_float_edge_cases(strategy):
+    # the reference float fixture (`radix_tests.cpp:157`), NaN included
+    x = np.array([0.0, -0.0, 0.5, -0.5, 128.0, -128.0, 646464.0, np.inf,
+                  -np.inf, np.nan], dtype=np.float32)
+    cfg = rst.SortConfig(strategy=strategy)
+    out = np.asarray(rst.sort(jnp.asarray(x), config=cfg))
+    # KDF total order: -inf < -128 < -0.5 < -0 < +0 < 0.5 < 128 < 646464 < inf < nan
+    expect = np.array([-np.inf, -128.0, -0.5, -0.0, 0.0, 0.5, 128.0, 646464.0,
+                       np.inf, np.nan], dtype=np.float32)
+    assert np.array_equal(out.view(np.uint32), expect.view(np.uint32))
+    assert verify.same_multiset(out, x)
+
+
+@pytest.mark.parametrize("dtype", ["float32", "float16", "bfloat16"])
+def test_random_floats(rng, dtype):
+    n = 20_000
+    if dtype == "bfloat16":
+        x = jnp.asarray(rng.standard_normal(n).astype(np.float32)).astype(jnp.bfloat16)
+        out = rst.sort(x)
+        xs = np.sort(np.asarray(x.astype(jnp.float32)))
+        assert np.array_equal(np.asarray(out.astype(jnp.float32)), xs)
+        return
+    x = rng.standard_normal(n).astype(dtype)
+    out = np.asarray(rst.sort(jnp.asarray(x)))
+    assert np.array_equal(out, np.sort(x))
+
+
+@pytest.mark.parametrize("strategy", STRATEGIES)
+def test_degenerate_inputs(rng, strategy):
+    cfg = rst.SortConfig(strategy=strategy)
+    for x in [
+        np.full(10_000, 0xDEADBEEF, np.uint32),            # constant
+        np.arange(10_000, dtype=np.uint32),                # presorted
+        np.arange(10_000, dtype=np.uint32)[::-1].copy(),   # reverse
+        np.zeros(0, np.uint32),                            # empty
+        np.array([42], np.uint32),                         # single
+        np.array([2, 1], np.uint32),                       # minimal swap
+    ]:
+        out = np.asarray(rst.sort(jnp.asarray(x), config=cfg))
+        assert np.array_equal(out, np.sort(x)), (strategy, x[:4])
+
+
+def test_value_mask_counting_path(rng):
+    # the CLI's skip-forcing hex-mask experiment (`radix_experiment.cpp:188-198`,
+    # `README.md:888-891`): masked keys must take the COUNTING path and agree
+    mask = 0xF0F00000
+    x = (rng.integers(0, 1 << 32, size=100_000, dtype=np.uint32) & mask).astype(np.uint32)
+    out = np.asarray(rst.sort(jnp.asarray(x), value_mask=mask))
+    assert np.array_equal(out, np.sort(x))
+    # explicit COUNTING succeeds; without enough live-bit budget it must raise
+    out2 = np.asarray(
+        rst.sort(jnp.asarray(x), config=rst.SortConfig(strategy=rst.Strategy.COUNTING),
+                 value_mask=mask)
+    )
+    assert np.array_equal(out2, np.sort(x))
+    with pytest.raises(ValueError):
+        rst.sort(jnp.asarray(x), config=rst.SortConfig(strategy=rst.Strategy.COUNTING))
+
+
+def test_value_mask_descending(rng):
+    mask = 0x0000FF00
+    x = (rng.integers(0, 1 << 32, size=50_000, dtype=np.uint32) & mask).astype(np.uint32)
+    cfg = rst.SortConfig(descending=True)
+    out = np.asarray(rst.sort(jnp.asarray(x), config=cfg, value_mask=mask))
+    assert np.array_equal(out, np.sort(x)[::-1])
+
+
+@pytest.mark.parametrize("radix_bits", [4, 8, 11])
+def test_lsd_radix_widths(rng, radix_bits):
+    # the 8/11-bit digit-width study (`README.md:781-811`) as a config knob
+    x = rng.integers(0, 1 << 32, size=30_000, dtype=np.uint32)
+    cfg = rst.SortConfig(strategy=rst.Strategy.LSD, radix_bits=radix_bits)
+    out = np.asarray(rst.sort(jnp.asarray(x), config=cfg))
+    assert np.array_equal(out, np.sort(x))
+
+
+def test_u64_sorts(rng):
+    x = rng.integers(0, 1 << 64, size=30_000, dtype=np.uint64)
+    out = rst.sort(x)
+    assert np.array_equal(np.asarray(out, dtype=np.uint64), np.sort(x))
+    out_mp = rst.sort_u64_multipass(x)
+    assert np.array_equal(np.asarray(out_mp, dtype=np.uint64), np.sort(x))
+
+
+def test_i64_f64_sorts(rng):
+    xi = rng.integers(np.iinfo(np.int64).min, np.iinfo(np.int64).max, size=20_000,
+                      dtype=np.int64)
+    assert np.array_equal(np.asarray(rst.sort(xi), dtype=np.int64), np.sort(xi))
+    xf = rng.standard_normal(20_000).astype(np.float64)
+    assert np.array_equal(np.asarray(rst.sort(xf), dtype=np.float64), np.sort(xf))
+
+
+def test_counting_sort_u8(rng):
+    x = rng.integers(0, 256, size=65_536, dtype=np.uint8)
+    out = np.asarray(rst.counting_sort(jnp.asarray(x)))
+    assert np.array_equal(out, np.sort(x))
