@@ -1,0 +1,86 @@
+"""Headline benchmark: sort the 40M-u32 dataset on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "Mkeys/s", "vs_baseline": N, ...}
+
+Baseline: the reference's best steady-state single-core rate on the same
+workload — 404.3 M keys/s (i7-8550U, `report/report-i7-8550U-2019-02-10.txt:211`;
+see BASELINE.md). The dataset mirrors `make genkeys` (`Makefile:79-82`):
+40,000,000 uniform-random u32.
+
+Methodology notes (this environment):
+* the axon TPU tunnel adds ~170 ms per dispatch and `block_until_ready` does
+  not sync, so the sort is looped K times *inside one jit* with a data
+  dependence between iterations, and timing is closed by a host readback —
+  the same steady-state style as the reference's Google-benchmark runs
+  (`radix_bench.cpp:88-133`).
+* the result is self-verified (sortedness + multiset) like the reference CLI's
+  always-on `-DVERIFY_SORT` (`radix_experiment.cpp:208-212`).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_MKEYS = 404.3  # reference best steady-state, BASELINE.md
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    import radix_sorting_tpu as rst
+    from radix_sorting_tpu.utils import keyfile
+
+    n = 40_000_000
+    keys = keyfile.generate_keys(n)
+    x = jnp.asarray(keys)
+
+    def sort_once(a):
+        (w,) = rst.ops.kdf.encode(a)
+        (sw,), _ = rst.ops.hw_engine.sort_words((w,))
+        return rst.ops.kdf.decode((sw,), jnp.uint32)
+
+    K = 5
+
+    @jax.jit
+    def steady(a):
+        def body(i, carry):
+            r = sort_once(carry)
+            # data dependence between iterations without changing the multiset:
+            # rotate by one element (keeps the input unsorted and uncacheable)
+            return jnp.roll(r, r[0].astype(jnp.int32) & 1 | 1)
+        return lax.fori_loop(0, K, body, a)
+
+    # compile + warm
+    r = steady(x)
+    np.asarray(r[-1:])
+    t0 = time.perf_counter()
+    r = steady(x)
+    np.asarray(r[-1:])  # host readback closes the async pipeline
+    dt = (time.perf_counter() - t0) / K
+
+    # verification run (exact output, like -DVERIFY_SORT)
+    out = np.asarray(sort_once(x))
+    ok = bool(np.array_equal(out, np.sort(keys)))
+
+    mkeys = n / dt / 1e6
+    rec = {
+        "metric": "sort 40M u32 keys/s/chip",
+        "value": round(mkeys, 1),
+        "unit": "Mkeys/s",
+        "vs_baseline": round(mkeys / BASELINE_MKEYS, 3),
+        "ms_per_sort": round(dt * 1e3, 2),
+        "verified_bit_exact": ok,
+        "device": str(jax.devices()[0]),
+        "n": n,
+    }
+    print(json.dumps(rec))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,8 @@
+"""Multi-chip / multi-host scale-out: mesh shuffle and distributed reductions."""
+
+from .histogram import global_digit_histogram, global_live_bit_mask  # noqa: F401
+from .shuffle import (  # noqa: F401
+    distributed_sort_u32,
+    gather_sorted,
+    make_sort_mesh,
+)

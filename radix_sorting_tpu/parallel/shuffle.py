@@ -1,0 +1,251 @@
+"""Distributed sort: skew-aware top-digit shuffle across a TPU mesh.
+
+The reference is strictly single-core (SURVEY §2 "explicit absence statement");
+this layer is the net-new scale-out design it calls for: the in-memory
+ping-pong of a radix pass generalizes to a **bucket shuffle across the pod**
+(SURVEY §5 long-context row): every chip keeps a shard of the keys, and one
+collective exchange re-shards them by key range so local sorts finish the job.
+
+Algorithm (SPMD, inside one `shard_map` over a 1-D mesh axis):
+
+  1. **local sort** of the shard by the full derived key (any single-chip
+     engine; runs on the sort unit).
+  2. **global splitter histogram**: each device histograms the top
+     ``splitter_bits`` of its keys; `psum` reduces it to the exact global
+     distribution — the distributed form of the reference's first-pass
+     histogram (`radix_sort.hpp:47-58`).
+  3. **skew-aware partition**: buckets are assigned to devices by walking the
+     exact global cumulative histogram so every device receives as close to
+     n/D keys as bucket granularity allows. Using many more buckets than
+     devices (default 4096 vs D) keeps imbalance small under skew — the
+     "skew-aware bucket splitting" of BASELINE.json's north star. Degenerate
+     distributions (few distinct top-digit values) degrade gracefully: the
+     mass concentrates in few buckets and the affected devices receive more
+     keys, but correctness is unaffected.
+  4. **all-to-all exchange**: because shards are locally sorted, each
+     device's outgoing keys for any destination form one contiguous run;
+     runs are placed into fixed-capacity slots (padded with the maximal
+     sentinel key, which sorts to the end and is sliced off by count) and
+     exchanged with a single `lax.all_to_all` — riding ICI within a slice,
+     DCN across hosts, exactly where XLA places it.
+  5. **local merge**: each device stably sorts its received runs; sentinels
+     accumulate at the tail. The result is a globally sorted sequence in mesh
+     order, each shard holding ``count`` valid keys.
+
+Static-shape contract: SPMD programs cannot return ragged shards, so the
+output shard is padded to ``capacity`` with sentinels and paired with a
+``count`` scalar; :func:`gather_sorted` assembles the exact concatenation.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import kdf
+
+__all__ = ["distributed_sort_u32", "gather_sorted", "make_sort_mesh"]
+
+_SENTINEL = np.uint32(0xFFFFFFFF)
+
+
+def make_sort_mesh(num_devices: Optional[int] = None, axis_name: str = "shards") -> Mesh:
+    """1-D mesh over the first ``num_devices`` devices (default: all)."""
+    devs = jax.devices()
+    if num_devices is not None:
+        devs = devs[:num_devices]
+    return jax.make_mesh((len(devs),), (axis_name,), devices=devs)
+
+
+def _device_of_bucket(global_hist: jax.Array, num_devices: int) -> jax.Array:
+    """Assign each splitter bucket to a device, balancing exact global mass.
+
+    Bucket b goes to device floor(excl_cum[b] / (total / D)): contiguous
+    ranges, monotone in b (which global sortedness requires), each device's
+    load within one bucket's mass of n/D. Deterministic and replicated — every
+    device computes the identical table from the psum'd histogram, no host
+    sync. float32 division keeps monotonicity (floor of a monotone map); its
+    rounding can only shift a bucket by one device, never reorder ranges.
+    """
+    counts = global_hist
+    excl = (jnp.cumsum(counts) - counts).astype(jnp.float32)
+    total = jnp.maximum(jnp.sum(counts), 1).astype(jnp.float32)
+    dev = jnp.floor(excl * (float(num_devices) / 1.0) / total)
+    return jnp.clip(dev.astype(jnp.int32), 0, num_devices - 1)
+
+
+def _shard_body(w, axis_name, num_devices, splitter_bits, capacity_per_peer, deal):
+    """Per-shard SPMD body. w: (n_local,) uint32 derived keys, n_local % D == 0."""
+    n_local = w.shape[0]
+    nbuckets = 1 << splitter_bits
+
+    # 0. optional "deal": a fixed, destination-independent all_to_all that
+    # re-interleaves shards so every device holds an even sample of the global
+    # array. Decorrelates value clusters from sources — without it, a
+    # presorted input sends each source's *entire* shard to a single peer and
+    # no per-peer capacity short of n_local suffices. Classic sample-sort
+    # pre-balancing; costs one extra pass of exchange traffic.
+    if deal:
+        w = lax.all_to_all(
+            w.reshape(num_devices, n_local // num_devices),
+            axis_name, split_axis=0, concat_axis=0, tiled=True,
+        ).reshape(-1)
+
+    # 1. local sort (hardware sort unit)
+    ws = lax.sort((w,), dimension=0, is_stable=True, num_keys=1)[0]
+
+    # 2a. adaptive splitter domain: left-align buckets at the globally highest
+    # *live* bit (distributed column-skip probe), so low-entropy key ranges
+    # (e.g. all keys < 2^20) still spread over all buckets instead of
+    # collapsing into bucket 0. gmask is replicated: identical on all devices.
+    local_or = jnp.bitwise_or.reduce(ws)
+    local_and = jnp.bitwise_and.reduce(ws)
+    gor = jnp.bitwise_or.reduce(lax.all_gather(local_or, axis_name))
+    gand = jnp.bitwise_and.reduce(lax.all_gather(local_and, axis_name))
+    gmask = gor ^ gand
+    all_equal = gmask == 0
+    lshift = jnp.minimum(lax.clz(gmask), 31).astype(jnp.uint32)
+
+    # 2b. exact global splitter histogram (psum over the mesh)
+    b = ((ws << lshift) >> np.uint32(32 - splitter_bits)).astype(jnp.uint32)
+    binv = jnp.arange(nbuckets, dtype=jnp.uint32)
+    local_hist = jnp.sum(
+        (b[:, None] == binv[None, :]).astype(jnp.int32), axis=0, dtype=jnp.int32
+    )
+    global_hist = lax.psum(local_hist, axis_name)
+
+    # 3. skew-aware bucket -> device assignment (identical on all devices)
+    dev_of_bucket = _device_of_bucket(global_hist, num_devices)
+
+    # destination device per local key; non-decreasing because ws is sorted
+    dest = jnp.take(dev_of_bucket, b.astype(jnp.int32))
+    # outgoing run boundaries per destination: count keys with dest < d
+    dround = jnp.arange(num_devices, dtype=jnp.int32)
+    out_counts = jnp.sum(
+        (dest[:, None] == dround[None, :]).astype(jnp.int32), axis=0, dtype=jnp.int32
+    )
+    out_starts = jnp.cumsum(out_counts) - out_counts
+
+    # 4. pack runs into (D, C) slots, sentinel-padded, and exchange.
+    # A run larger than C cannot be shipped this round; that is *detected*
+    # (never silent) and reported via the overflow flag.
+    C = capacity_per_peer
+    overflow = lax.psum(jnp.sum((out_counts > C).astype(jnp.int32)), axis_name)
+    out_counts = jnp.minimum(out_counts, C)
+    j = jnp.arange(C, dtype=jnp.int32)
+    flat_idx = out_starts[:, None] + j[None, :]
+    valid = j[None, :] < out_counts[:, None]
+    gathered = jnp.take(ws, jnp.clip(flat_idx, 0, n_local - 1), axis=0)
+    send = jnp.where(valid, gathered, _SENTINEL)
+    recv = lax.all_to_all(send, axis_name, split_axis=0, concat_axis=0, tiled=True)
+    recv_counts = lax.all_to_all(out_counts, axis_name, split_axis=0, concat_axis=0,
+                                 tiled=True)
+
+    # 5. local merge of the received runs; sentinels sort to the tail
+    merged = lax.sort((recv.reshape(-1),), dimension=0, is_stable=True, num_keys=1)[0]
+    count = jnp.sum(recv_counts)
+
+    # all-equal bypass: no movement needed, every shard already holds a sorted
+    # run of the single value; avoids the degenerate one-device hotspot.
+    pad = jnp.full((num_devices * C - n_local,), _SENTINEL)
+    bypass = jnp.concatenate([ws, pad]) if num_devices * C > n_local else ws[: num_devices * C]
+    merged = jnp.where(all_equal, bypass, merged)
+    count = jnp.where(all_equal, n_local, count)
+    overflow = jnp.where(all_equal, 0, overflow)
+    return merged, count[None], overflow[None]
+
+
+@partial(jax.jit, static_argnames=("mesh", "axis_name", "splitter_bits", "slack", "exact"))
+def distributed_sort_u32(
+    x: jax.Array,
+    mesh: Mesh,
+    axis_name: str = "shards",
+    splitter_bits: int = 12,
+    slack: float = 0.5,
+    exact: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Sort a u32 array sharded over a 1-D mesh.
+
+    Args:
+      x: (n,) uint32, n divisible by the mesh size (callers pad with the
+        maximal key 0xFFFFFFFF if needed — sentinels sort to the tail of the
+        last shard and are dropped by count).
+      mesh: 1-D device mesh.
+      splitter_bits: top bits used for range partitioning (buckets = 2**bits).
+      slack: per-peer capacity headroom over the uniform expectation
+        ``n/D**2``. Ample for uniform and mildly skewed data; a run that
+        exceeds capacity is *detected* and reported (never silently dropped).
+      exact: size the exchange for the adversarial worst case
+        (capacity = full local shard). Always correct for any distribution,
+        at D-fold exchange memory/traffic — the escape hatch when the
+        overflow flag is set.
+
+    Returns:
+      (sorted_padded, counts, overflow):
+        ``sorted_padded`` — (D * cap,) sharded over the mesh; each shard's
+        first ``counts[d]`` entries are its range of the globally sorted
+        sequence, the tail is sentinel-padded.
+        ``counts`` — (D,) int32 valid lengths.
+        ``overflow`` — (D,) int32, nonzero means capacity was exceeded and
+        the result is incomplete: retry with ``exact=True`` or more slack.
+    """
+    D = mesh.shape[axis_name]
+    n = x.shape[0]
+    if n < D * D:
+        raise ValueError(f"n={n} too small for a {D}-device shuffle (need n >= D^2)")
+    # Pad to a multiple of D^2 with maximal sentinel keys: they sort to the
+    # global tail (device D-1's range in every path, including the all-equal
+    # bypass where keys are then also maximal), so the count adjustment below
+    # is exact.
+    pad_total = (-n) % (D * D)
+    if pad_total:
+        x = jnp.concatenate([x, jnp.full((pad_total,), _SENTINEL)])
+    n_local = (n + pad_total) // D
+    if exact:
+        cap = n_local
+    else:
+        expect = -(-n_local // D)
+        cap = min(n_local,
+                  int(expect * (1.0 + slack)) + -(-n_local // (1 << splitter_bits)) + 8)
+    body = partial(
+        _shard_body,
+        axis_name=axis_name,
+        num_devices=D,
+        splitter_bits=splitter_bits,
+        capacity_per_peer=cap,
+        deal=not exact,
+    )
+    mapped = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=P(axis_name),
+        out_specs=(P(axis_name), P(axis_name), P(axis_name)),
+        check_vma=False,
+    )
+    sorted_padded, counts, overflow = mapped(x)
+    if pad_total:
+        counts = counts.at[D - 1].add(-pad_total)
+    return sorted_padded, counts, overflow
+
+
+def gather_sorted(sorted_padded: jax.Array, counts: jax.Array,
+                  overflow: Optional[jax.Array] = None) -> np.ndarray:
+    """Assemble the exact sorted array on host from padded shards + counts.
+
+    Raises if the shuffle reported capacity overflow (incomplete result).
+    """
+    if overflow is not None and int(np.asarray(overflow)[0]) != 0:
+        raise RuntimeError(
+            "distributed_sort exchange capacity exceeded (skewed input); "
+            "retry with exact=True or a larger slack"
+        )
+    counts_np = np.asarray(counts)
+    D = counts_np.shape[0]
+    flat = np.asarray(sorted_padded).reshape(D, -1)
+    return np.concatenate([flat[d, : counts_np[d]] for d in range(D)])

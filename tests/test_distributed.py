@@ -1,0 +1,128 @@
+"""Distributed shuffle tests on the 8-device host-local CPU mesh.
+
+The reference has no multi-node code; these tests validate the net-new
+scale-out layer (SURVEY §2 parallelism statement) the idiomatic way: a
+virtual mesh via xla_force_host_platform_device_count (SURVEY §4).
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from radix_sorting_tpu.parallel import (
+    distributed_sort_u32,
+    gather_sorted,
+    global_digit_histogram,
+    global_live_bit_mask,
+    make_sort_mesh,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    return make_sort_mesh(8)
+
+
+def test_mesh_has_8(mesh):
+    assert mesh.shape["shards"] == 8
+
+
+def test_distributed_sort_uniform(rng, mesh):
+    n = 1 << 17
+    x = rng.integers(0, 1 << 32, size=n, dtype=np.uint32)
+    sp, counts, ovf = distributed_sort_u32(jnp.asarray(x), mesh)
+    assert int(np.asarray(ovf)[0]) == 0
+    out = gather_sorted(sp, counts, ovf)
+    assert np.array_equal(out, np.sort(x))
+    # balance: no shard wildly above uniform share
+    c = np.asarray(counts)
+    assert c.sum() == n
+    assert c.max() <= int(n / 8 * 1.5)
+
+
+def test_distributed_sort_skewed_exact(rng, mesh):
+    # adversarial skew: 90% of keys in one narrow range + constant block
+    n = 1 << 16
+    x = np.concatenate([
+        np.full(n // 2, 0x0000BEEF, np.uint32),
+        (rng.integers(0, 1 << 12, size=n // 4, dtype=np.uint32) + 0x10).astype(np.uint32),
+        rng.integers(0, 1 << 32, size=n // 4, dtype=np.uint32),
+    ])
+    rng.shuffle(x)
+    sp, counts, ovf = distributed_sort_u32(jnp.asarray(x), mesh, exact=True)
+    out = gather_sorted(sp, counts, ovf)
+    assert np.array_equal(out, np.sort(x))
+
+
+def test_distributed_sort_all_equal_bypass(mesh):
+    # all keys identical: the all-equal bypass keeps data in place — no
+    # exchange hotspot, no overflow
+    n = 1 << 15
+    x = np.full(n, 0xABCD1234, np.uint32)
+    sp, counts, ovf = distributed_sort_u32(jnp.asarray(x), mesh)
+    assert int(np.asarray(ovf)[0]) == 0
+    out = gather_sorted(sp, counts, ovf)
+    assert np.array_equal(out, x)
+
+
+def test_distributed_sort_overflow_detected(rng, mesh):
+    # two distinct values on 8 devices: two devices receive ~n/2 each; the
+    # default capacity must overflow and the flag must say so (never silent)
+    n = 1 << 15
+    x = rng.integers(0, 2, size=n, dtype=np.uint32)
+    sp, counts, ovf = distributed_sort_u32(jnp.asarray(x), mesh)
+    assert int(np.asarray(ovf)[0]) != 0
+    with pytest.raises(RuntimeError):
+        gather_sorted(sp, counts, ovf)
+    # exact mode handles it
+    sp, counts, ovf = distributed_sort_u32(jnp.asarray(x), mesh, exact=True)
+    out = gather_sorted(sp, counts, ovf)
+    assert np.array_equal(out, np.sort(x))
+
+
+def test_distributed_sort_presorted_and_reverse(mesh):
+    n = 1 << 15
+    for x in [np.arange(n, dtype=np.uint32) * 7,
+              (np.arange(n, dtype=np.uint32) * 13)[::-1].copy()]:
+        sp, counts, ovf = distributed_sort_u32(jnp.asarray(x), mesh)
+        out = gather_sorted(sp, counts, ovf)
+        assert np.array_equal(out, np.sort(x))
+
+
+def test_global_histogram(rng, mesh):
+    n = 1 << 15
+    x = rng.integers(0, 1 << 32, size=n, dtype=np.uint32)
+    h = np.asarray(global_digit_histogram(jnp.asarray(x), mesh, pass_index=3))
+    assert np.array_equal(h, np.bincount(x >> 24, minlength=256))
+
+
+def test_global_live_mask(rng, mesh):
+    base = np.uint32(0x90000001)
+    x = ((rng.integers(0, 16, size=1 << 15, dtype=np.uint32) << 12) | base).astype(np.uint32)
+    m = global_live_bit_mask(jnp.asarray(x), mesh)
+    assert int(m) == 0xF000
+
+
+def test_distributed_sort_ragged_n(rng, mesh):
+    # n not divisible by D^2: driver pads with sentinels and adjusts counts
+    n = (1 << 15) + 1234
+    x = rng.integers(0, 1 << 32, size=n, dtype=np.uint32)
+    sp, counts, ovf = distributed_sort_u32(jnp.asarray(x), mesh)
+    out = gather_sorted(sp, counts, ovf)
+    assert out.shape[0] == n
+    assert np.array_equal(out, np.sort(x))
+    # sentinel-heavy tail: real 0xFFFFFFFF keys must survive padding logic
+    x2 = np.concatenate([x[: n - 100], np.full(100, 0xFFFFFFFF, np.uint32)])
+    sp, counts, ovf = distributed_sort_u32(jnp.asarray(x2), mesh)
+    out2 = gather_sorted(sp, counts, ovf)
+    assert np.array_equal(out2, np.sort(x2))
+
+
+def test_splitter_bits_variants(rng, mesh):
+    x = rng.integers(0, 1 << 32, size=1 << 15, dtype=np.uint32)
+    for sb in (8, 10, 12):
+        sp, counts, ovf = distributed_sort_u32(jnp.asarray(x), mesh, splitter_bits=sb)
+        out = gather_sorted(sp, counts, ovf)
+        assert np.array_equal(out, np.sort(x))
