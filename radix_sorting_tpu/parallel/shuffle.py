@@ -230,7 +230,10 @@ def distributed_sort_u32(
     )
     sorted_padded, counts, overflow = mapped(x)
     if pad_total:
-        counts = counts.at[D - 1].add(-pad_total)
+        # elementwise (sharding-friendly) equivalent of counts[D-1] -= pad_total
+        counts = counts - jnp.where(
+            jnp.arange(D, dtype=jnp.int32) == D - 1, pad_total, 0
+        ).astype(counts.dtype)
     return sorted_padded, counts, overflow
 
 
