@@ -1,0 +1,125 @@
+"""Experiment CLI — the counterpart of the reference `radix` harness.
+
+Reference usage: ``./radix <count> [<use_mmap> <use_huge> <type> <hex-mask>]``
+(`radix_experiment.cpp:250`): load keys from the 40M key file, optionally
+apply a hex value-mask to force column skipping (`:188-198`), time one sort
+with a monotonic clock (`:200-206`), verify sortedness (`:208-212`), print
+head/tail and timing (`:214-228`).
+
+TPU mapping:
+* ``use_mmap`` / ``use_huge`` were host-allocator experiments; the array
+  lives in HBM here, so they are accepted-and-ignored for drop-in arg
+  compatibility (a note is printed).
+* the type dispatch covers the reference's eight CLI types
+  (`radix_experiment.cpp:264-279`) plus the TPU half floats.
+* verification is always on (the reference compiles the CLI with
+  ``-DVERIFY_SORT``, `Makefile:61`), accepting forward or reverse order like
+  `verify_sort_kf` (`radix_experiment.cpp:137-174`).
+
+Usage:
+  python -m radix_sorting_tpu.cli <count> [type] [hexmask]
+  python -m radix_sorting_tpu.cli 40000000 u32 0xF0F00000
+  python -m radix_sorting_tpu.cli <count> <use_mmap> <use_huge> <type> [hexmask]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+_TYPES = {
+    # the reference's runtime type-name dispatch (`radix_experiment.cpp:264-279`)
+    "u8": np.uint8, "u16": np.uint16, "u32": np.uint32, "u64": np.uint64,
+    "i8": np.int8, "i16": np.int16, "i32": np.int32, "i64": np.int64,
+    "f32": np.float32, "f64": np.float64,
+    # TPU-native extras
+    "f16": np.float16, "bf16": "bfloat16",
+}
+
+
+def _parse(argv):
+    if not argv or argv[0] in ("-h", "--help"):
+        print(__doc__)
+        raise SystemExit(0)
+    count = int(argv[0])
+    rest = argv[1:]
+    # accept the reference's positional (use_mmap, use_huge) pair if present
+    if len(rest) >= 2 and rest[0] in ("0", "1") and rest[1] in ("0", "1"):
+        if rest[0] == "1" or rest[1] == "1":
+            print("# note: mmap/hugepage flags are host-allocator knobs; "
+                  "keys live in HBM on TPU (accepted, ignored)")
+        rest = rest[2:]
+    tname = rest[0] if rest else "u32"
+    if tname not in _TYPES:
+        sys.exit(f"unknown type {tname!r}; one of {sorted(_TYPES)}")
+    mask = int(rest[1], 16) if len(rest) > 1 else None
+    return count, tname, mask
+
+
+def main(argv=None) -> int:
+    count, tname, mask = _parse(sys.argv[1:] if argv is None else argv)
+
+    import jax.numpy as jnp
+
+    import radix_sorting_tpu as rst
+    from radix_sorting_tpu.utils import keyfile, verify
+
+    # dataset: the cached 40M key file, reinterpreted at the requested type
+    # (the reference reads the same bytes as any type, `radix_experiment.cpp:78`)
+    dt = _TYPES[tname]
+    raw = keyfile.load_or_create(count * (np.dtype(dt).itemsize if dt != "bfloat16" else 2)
+                                 // 4 + 1).view(np.uint8)
+    itemsize = 2 if dt == "bfloat16" else np.dtype(dt).itemsize
+    if raw.size < count * itemsize:
+        sys.exit(f"dataset too small for {count} x {tname}")
+    if dt == "bfloat16":
+        x_np = raw[: count * 2].view(np.uint16)
+    else:
+        x_np = raw[: count * itemsize].view(dt)
+
+    if mask is not None:
+        # type-punned bitwise mask, like the memcpy mask of `:188-198`
+        u = x_np.view(np.dtype(f"u{itemsize}"))
+        u = (u & np.dtype(f"u{itemsize}").type(mask & ((1 << (8 * itemsize)) - 1)))
+        x_np = u.view(x_np.dtype)
+
+    if dt == "bfloat16":
+        x = jnp.asarray(x_np).view(jnp.bfloat16)
+    elif itemsize == 8:
+        x = x_np  # 64-bit numpy path (works without x64)
+    else:
+        x = jnp.asarray(x_np)
+
+    # one timed sort, wall clock closed by host readback
+    # (`clock_gettime(CLOCK_MONOTONIC_RAW)` analog, `radix_experiment.cpp:204-206`)
+    t0 = time.perf_counter()
+    out = rst.sort(x, value_mask=mask)
+    out_np = np.asarray(out)
+    dt_s = time.perf_counter() - t0
+
+    ok = verify.is_sorted(out_np if itemsize != 8 else out_np.astype(x_np.dtype))
+    ok = ok and verify.same_multiset(out_np.view(x_np.dtype) if out_np.dtype != x_np.dtype
+                                     else out_np, x_np)
+
+    head = ", ".join(str(v) for v in out_np[:4])
+    tail = ", ".join(str(v) for v in out_np[-4:])
+    print(f"# head: {head}")
+    print(f"# tail: {tail}")
+    rec = {
+        "n": count,
+        "type": tname,
+        "mask": f"0x{mask:08X}" if mask is not None else None,
+        "ms": round(dt_s * 1e3, 2),
+        "Mkeys_per_s": round(count / dt_s / 1e6, 1),
+        "bytes_per_s": round(count * itemsize / dt_s, 0),
+        "verified": bool(ok),
+    }
+    print(json.dumps(rec))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
