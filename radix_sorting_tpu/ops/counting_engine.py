@@ -48,9 +48,15 @@ __all__ = ["counting_sort_compact", "sort_word_counting"]
 def counting_sort_compact(c: jax.Array, bins: int, block: int = 1 << 20) -> jax.Array:
     """Sort a dense-domain uint32 vector (values < bins) by regeneration.
 
-    Returns the sorted vector; O(n * bins) dense ops, zero scatters.
+    Returns the sorted vector; O(n * bins) dense ops, zero scatters. On TPU
+    both phases run as Pallas kernels (factored-one-hot histogram + MXU
+    regeneration, :mod:`.pallas_kernels`).
     """
     n = c.shape[0]
+    if jax.default_backend() == "tpu" and bins & (bins - 1) == 0:
+        from .pallas_kernels import histogram_tpu, regenerate_tpu
+        hist = histogram_tpu(c, 0, radix_bits=bins.bit_length() - 1)
+        return regenerate_tpu(hist, n)
     hist = digit_histogram(c, bins)                     # (bins,) int32
     cum = jnp.cumsum(hist, dtype=jnp.int32)             # inclusive
     # out[j] = number of buckets fully emitted at or before position j

@@ -103,10 +103,14 @@ def chunked_digit_histogram(digits: jax.Array, bins: int, num_chunks: int) -> ja
 def multi_digit_histogram(words: Sequence[jax.Array], radix_bits: int) -> jax.Array:
     """All passes' histograms from one traversal: (num_passes, bins) int32.
 
-    The fused all-histograms read of `radix_sort_u32.c:24-37`. XLA fuses the
-    per-pass compare/reduce trees over a single input stream, so like the
-    reference this costs one read of the keys.
+    The fused all-histograms read of `radix_sort_u32.c:24-37`. On TPU this
+    dispatches to the Pallas factored-one-hot kernel (one key stream, MXU
+    reductions, :mod:`.pallas_kernels`); elsewhere XLA fuses the per-pass
+    compare/reduce trees over a single input stream.
     """
+    if jax.default_backend() == "tpu" and len(words) == 1:
+        from .pallas_kernels import multi_digit_histogram_tpu
+        return multi_digit_histogram_tpu(words[0], radix_bits)
     nwords = len(words)
     digits_per_word = -(-32 // radix_bits)
     num_passes = digits_per_word * nwords

@@ -1,0 +1,216 @@
+"""Pallas TPU kernels for the radix hot phases.
+
+These are the device kernels behind the framework's histogram-shaped ops (the
+reference's HOT LOOP 1, `radix_sort.hpp:49-58`). Design notes, TPU-first:
+
+* A scalar ``cnt[digit]++`` cannot exist on a VPU; the dense formulation is a
+  one-hot compare, O(bins) VPU ops per element. This kernel cuts that to
+  O(sqrt(bins)) with a **factored one-hot**: split the digit into hi/lo
+  halves, build the two half-width one-hots (2*sqrt(bins) compares), and let
+  the **MXU take the outer-product-accumulate**::
+
+      hist[h, l] = sum_t hi_onehot[h, t] * lo_onehot[l, t]
+                 = hi_onehot (H, T) @ lo_onehot^T (T, L)
+
+  For 256 bins that is 32 VPU compares per element instead of 256, with the
+  256-way accumulation running on the systolic array for free. Partials are
+  exact (bf16 0/1 inputs, f32 accumulation, counts per sub-chunk <= 1024);
+  the running accumulator is int32 so totals stay exact past 2^24.
+* Layouts avoid every relayout: digits stay a (1, T) lane row, half-one-hots
+  are (H, T)/(L, T) sublane x lane tiles, the matmul contracts over lanes,
+  and the accumulator is (H, L*passes) so each pass's (H, L) tile adds in
+  place.
+* The **multi-digit variant histograms every pass in ONE read of the keys**
+  (the fused first pass of `radix_sort_u32.c:24-37`): HBM traffic is a single
+  key stream; nibble one-hots are shared across adjacent passes' halves only
+  through the compare cost, which the factoring already minimized.
+
+On non-TPU backends the kernels run in Pallas interpret mode (tests); the
+public wrappers in :mod:`.histogram` remain the XLA fallback.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["histogram_tpu", "multi_digit_histogram_tpu", "regenerate_tpu"]
+
+_SUB = 8192          # elements per sub-chunk (lane-row length); tuned on v5e
+_BLOCK_SUBS = 8      # sub-chunks per grid step (64K elements per step)
+
+
+def _want_interpret() -> bool:
+    return jax.default_backend() not in ("tpu",)
+
+
+def _split_bits(radix_bits: int):
+    lo = radix_bits // 2
+    hi = radix_bits - lo
+    return hi, lo
+
+
+def _hist_kernel(x_ref, o_ref, *, shifts, radix_bits, valid_n):
+    """Accumulate factored digit histograms of one block.
+
+    x_ref: (_BLOCK_SUBS, _SUB) uint32 keys;
+    o_ref: (2^hi_bits, 2^lo_bits * num_passes) int32.
+    """
+    hi_bits, lo_bits = _split_bits(radix_bits)
+    H, L = 1 << hi_bits, 1 << lo_bits
+    himask = np.uint32(H - 1)
+    lomask = np.uint32(L - 1)
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        o_ref[...] = jnp.zeros_like(o_ref)
+
+    hiv = lax.broadcasted_iota(jnp.uint32, (H, 1), 0)
+    lov = lax.broadcasted_iota(jnp.uint32, (L, 1), 0)
+    base = step * (_BLOCK_SUBS * _SUB)
+
+    def body(s, _):
+        row = x_ref[pl.ds(s, 1), :]                      # (1, _SUB) uint32
+        eidx = base + s * _SUB + lax.broadcasted_iota(jnp.int32, (1, _SUB), 1)
+        in_range = eidx < valid_n                        # (1, _SUB)
+        for p, shift in enumerate(shifts):
+            d_lo = (row >> np.uint32(shift)) & lomask
+            d_hi = (row >> np.uint32(shift + lo_bits)) & himask
+            # invalidate padding through the hi half (zero product suffices)
+            d_hi = jnp.where(in_range, d_hi, np.uint32(H))
+            hi_oh = (hiv == d_hi).astype(jnp.bfloat16)   # (H, _SUB)
+            lo_oh = (lov == d_lo).astype(jnp.bfloat16)   # (L, _SUB)
+            partial = jax.lax.dot_general(
+                hi_oh, lo_oh,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                            # (H, L) exact
+            o_ref[:, pl.ds(p * L, L)] += partial.astype(jnp.int32)
+        return 0
+
+    lax.fori_loop(0, _BLOCK_SUBS, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("shifts", "radix_bits", "valid_n"))
+def _hist_call(x_padded, shifts, radix_bits, valid_n):
+    n = x_padded.shape[0]
+    block_elems = _BLOCK_SUBS * _SUB
+    assert n % block_elems == 0
+    steps = n // block_elems
+    hi_bits, lo_bits = _split_bits(radix_bits)
+    H, L = 1 << hi_bits, 1 << lo_bits
+    kernel = functools.partial(
+        _hist_kernel, shifts=shifts, radix_bits=radix_bits, valid_n=valid_n,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(steps,),
+        in_specs=[pl.BlockSpec((_BLOCK_SUBS, _SUB), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((H, L * len(shifts)), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((H, L * len(shifts)), jnp.int32),
+        interpret=_want_interpret(),
+    )(x_padded.reshape(steps * _BLOCK_SUBS, _SUB))
+    # (H, L*P) -> (P, H*L): bucket index is hi*L + lo
+    P = len(shifts)
+    return out.reshape(H, P, L).transpose(1, 0, 2).reshape(P, H * L)
+
+
+def _pad_keys(w: jax.Array):
+    n = w.shape[0]
+    block = _BLOCK_SUBS * _SUB
+    pad = (-n) % block
+    if pad:
+        w = jnp.concatenate([w, jnp.zeros((pad,), jnp.uint32)])
+    return w, n
+
+
+def histogram_tpu(w: jax.Array, pass_index: int, radix_bits: int = 8) -> jax.Array:
+    """(bins,) int32 histogram of one digit of a u32 key vector (Pallas)."""
+    wp, n = _pad_keys(w)
+    shifts = (pass_index * radix_bits,)
+    return _hist_call(wp, shifts, radix_bits, n)[0]
+
+
+def multi_digit_histogram_tpu(w: jax.Array, radix_bits: int = 8) -> jax.Array:
+    """(num_passes, bins) histograms of every digit in ONE read of the keys.
+
+    The fused all-histograms pass of `radix_sort_u32.c:24-37`, as a Pallas
+    kernel: HBM traffic is a single key stream; per-pass factored one-hot
+    reductions ride the MXU.
+    """
+    num_passes = -(-32 // radix_bits)
+    shifts = tuple(p * radix_bits for p in range(num_passes))
+    wp, n = _pad_keys(w)
+    return _hist_call(wp, shifts, radix_bits, n)
+
+
+# ---------------------------------------------------------------------------
+# counting-sort regeneration
+
+
+def _regen_kernel(cum_ref, o_ref, *, bins):
+    """out[j] = #{b : cum[b] <= j} — the keys-only counting-sort rewrite.
+
+    cum_ref: (bins, 1) int32 inclusive cumulative histogram;
+    o_ref: (_BLOCK_SUBS, _SUB) uint32 output block.
+    """
+    step = pl.program_id(0)
+    cum = cum_ref[...]                                     # (bins, 1) int32
+    base = step * (_BLOCK_SUBS * _SUB)
+    ones_row = jnp.ones((1, bins), jnp.bfloat16)
+
+    def body(r, _):
+        j = base + r * _SUB + lax.broadcasted_iota(jnp.int32, (1, _SUB), 1)
+        emitted = (cum <= j).astype(jnp.bfloat16)         # (bins, _SUB)
+        v = jax.lax.dot_general(
+            ones_row, emitted,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                  # (1, _SUB), <= bins
+        # Mosaic lacks a direct f32->u32 cast; go through int32 (values are
+        # small non-negative integers, both casts exact).
+        o_ref[pl.ds(r, 1), :] = v.astype(jnp.int32).astype(jnp.uint32)
+        return 0
+
+    lax.fori_loop(0, _BLOCK_SUBS, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "bins"))
+def _regen_call(cum, n, bins):
+    block_elems = _BLOCK_SUBS * _SUB
+    n_pad = -(-n // block_elems) * block_elems
+    steps = n_pad // block_elems
+    kernel = functools.partial(_regen_kernel, bins=bins)
+    out = pl.pallas_call(
+        kernel,
+        grid=(steps,),
+        in_specs=[pl.BlockSpec((bins, 1), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((_BLOCK_SUBS, _SUB), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((steps * _BLOCK_SUBS, _SUB), jnp.uint32),
+        interpret=_want_interpret(),
+    )(cum.reshape(bins, 1))
+    return out.reshape(-1)[:n]
+
+
+def regenerate_tpu(hist: jax.Array, n: int) -> jax.Array:
+    """Rebuild the sorted dense-domain vector from its histogram (Pallas).
+
+    The device form of the counting-sort output rewrite
+    (`counting_sort_8.c:14-19`): position j holds the number of buckets whose
+    cumulative count is <= j (exact: 0/1 bf16 products, f32 accumulation,
+    sums bounded by the bin count).
+    """
+    bins = hist.shape[0]
+    cum = jnp.cumsum(hist, dtype=jnp.int32)
+    return _regen_call(cum, n, bins)

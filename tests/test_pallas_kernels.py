@@ -1,0 +1,53 @@
+"""Pallas kernel tests (interpret mode on CPU; the same kernels compile to
+Mosaic on TPU — validated on hardware via the verify flow)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from radix_sorting_tpu.ops import pallas_kernels as pk
+
+
+@pytest.mark.parametrize("pass_index", [0, 3])
+def test_histogram_tpu(rng, pass_index):
+    x = rng.integers(0, 1 << 32, size=200_000, dtype=np.uint32)
+    h = np.asarray(pk.histogram_tpu(jnp.asarray(x), pass_index))
+    assert np.array_equal(
+        h, np.bincount((x >> (8 * pass_index)) & 0xFF, minlength=256))
+
+
+@pytest.mark.parametrize("radix_bits", [4, 8, 11])
+def test_multi_digit_histogram_tpu(rng, radix_bits):
+    x = rng.integers(0, 1 << 32, size=100_000, dtype=np.uint32)
+    hs = np.asarray(pk.multi_digit_histogram_tpu(jnp.asarray(x), radix_bits))
+    num_passes = -(-32 // radix_bits)
+    mask = (1 << radix_bits) - 1
+    assert hs.shape == (num_passes, 1 << radix_bits)
+    for p in range(num_passes):
+        expect = np.bincount((x >> (radix_bits * p)) & mask,
+                             minlength=1 << radix_bits)
+        assert np.array_equal(hs[p], expect), p
+
+
+def test_histogram_unaligned_n(rng):
+    # padding path: n not a multiple of the block
+    x = rng.integers(0, 1 << 32, size=65_536 + 777, dtype=np.uint32)
+    h = np.asarray(pk.histogram_tpu(jnp.asarray(x), 0))
+    assert np.array_equal(h, np.bincount(x & 0xFF, minlength=256))
+    assert h.sum() == x.size
+
+
+@pytest.mark.parametrize("bins", [16, 256, 1024])
+def test_regenerate_tpu(rng, bins):
+    n = 150_000
+    c = rng.integers(0, bins, size=n, dtype=np.uint32)
+    hist = jnp.asarray(np.bincount(c, minlength=bins).astype(np.int32))
+    out = np.asarray(pk.regenerate_tpu(hist, n))
+    assert np.array_equal(out, np.sort(c))
+
+
+def test_regenerate_degenerate():
+    # single bucket holds everything
+    hist = jnp.asarray(np.array([0, 5000, 0, 0], np.int32))
+    out = np.asarray(pk.regenerate_tpu(hist, 5000))
+    assert np.all(out == 1)
