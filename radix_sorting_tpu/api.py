@@ -204,11 +204,11 @@ def sort(x, *, config: SortConfig = DEFAULT_CONFIG, value_mask: Optional[int] = 
         )
         return _decode(sw, dtype, cfg.descending)
 
-    # HW_SORT
+    # HW_SORT; keys-only, so the unstable fast path is exact (see hw_engine)
     if cfg.detect_presorted:
-        sw, _ = hw_engine.sort_words_presort_guard(words)
+        sw, _ = hw_engine.sort_words_presort_guard(words, stable=False)
     else:
-        sw, _ = hw_engine.sort_words(words)
+        sw, _ = hw_engine.sort_words(words, stable=False)
     return _decode(sw, dtype, cfg.descending)
 
 
@@ -308,5 +308,6 @@ def sort_u64_multipass(x, *, config: SortConfig = DEFAULT_CONFIG):
     # pass 1: keyshift 0 — sort by low word, carry high word
     (lo1,), (hi1,) = hw_engine.sort_words((lo,), (hi,))
     # pass 2: keyshift 32 — stable sort by high word, carry low word
+    # (stability is what makes the composition correct, `README.md:471-473`)
     (hi2,), (lo2,) = hw_engine.sort_words((hi1,), (lo1,))
     return _decode((hi2, lo2), dtype, cfg.descending)

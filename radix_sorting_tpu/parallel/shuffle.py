@@ -97,8 +97,8 @@ def _shard_body(w, axis_name, num_devices, splitter_bits, capacity_per_peer, dea
             axis_name, split_axis=0, concat_axis=0, tiled=True,
         ).reshape(-1)
 
-    # 1. local sort (hardware sort unit)
-    ws = lax.sort((w,), dimension=0, is_stable=True, num_keys=1)[0]
+    # 1. local sort (hardware sort unit; keys-only, unstable is exact)
+    ws = lax.sort((w,), dimension=0, is_stable=False, num_keys=1)[0]
 
     # 2a. adaptive splitter domain: left-align buckets at the globally highest
     # *live* bit (distributed column-skip probe), so low-entropy key ranges
@@ -148,7 +148,7 @@ def _shard_body(w, axis_name, num_devices, splitter_bits, capacity_per_peer, dea
                                  tiled=True)
 
     # 5. local merge of the received runs; sentinels sort to the tail
-    merged = lax.sort((recv.reshape(-1),), dimension=0, is_stable=True, num_keys=1)[0]
+    merged = lax.sort((recv.reshape(-1),), dimension=0, is_stable=False, num_keys=1)[0]
     count = jnp.sum(recv_counts)
 
     # all-equal bypass: no movement needed, every shard already holds a sorted
