@@ -1,0 +1,135 @@
+"""Benchmark suite — the counterpart of the reference's Google-benchmark
+binary (`radix_bench.cpp:14-141`) plus its `bench.sh` report writer.
+
+Sweeps n = 1 ... 40,000,000 x10 (`radix_bench.cpp:135-138`) over:
+  * radix_sort        (keys-only value sort, the framework's general path)
+  * radix_sort_rank   (stable argsort, `radix_bench.cpp:107-121`)
+  * masked counting   (the column-skip showcase, 8 live bits)
+  * jnp.sort          (the `std::sort` stand-in baseline, `:123-127`)
+
+Reports KeyRate (keys/s) and bytes/s derived counters exactly like the
+fixture's UpdateCounters (`radix_bench.cpp:72-77`), and writes a dated
+report file with environment info in the spirit of `bench.sh:6-18`.
+
+Usage: python bench_suite.py [--quick] [--out report/]
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import json
+import platform
+import subprocess
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def _sizes(quick: bool):
+    sizes = []
+    n = 1
+    while n < 40_000_000:
+        sizes.append(n)
+        n *= 10
+    sizes.append(40_000_000)
+    return sizes[-3:] if quick else sizes
+
+
+def _steady_ms(fn, x, reps):
+    """Steady-state per-op time; loops inside one jit, closes with readback."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    def outer(a):
+        def body(i, c):
+            r = fn(c)
+            # real data dependence (defeats DCE) that leaves the workload's
+            # distribution intact: flip bit 0 of the input by an output bit
+            return c ^ (jnp.ravel(r)[-1].astype(c.dtype) & c.dtype.type(1))
+        return lax.fori_loop(0, reps, body, a)
+
+    g = jax.jit(outer)
+    np.asarray(g(x)[-1:])  # compile + warm
+    t0 = time.perf_counter()
+    np.asarray(g(x)[-1:])
+    return (time.perf_counter() - t0) * 1e3 / reps
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="only the top sizes")
+    ap.add_argument("--out", default="report", help="report directory")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    import radix_sorting_tpu as rst
+    from radix_sorting_tpu.ops import counting_engine, hw_engine, kdf
+    from radix_sorting_tpu.utils import keyfile
+
+    keys = keyfile.generate_keys(40_000_000)
+    mask = 0xF0F00000
+
+    def value_sort(a):
+        (w,) = kdf.encode(a)
+        (sw,), _ = hw_engine.sort_words((w,), stable=False)
+        return kdf.decode((sw,), jnp.uint32)
+
+    def rank_sort(a):
+        (w,) = kdf.encode(a)
+        _, perm = hw_engine.argsort_words((w,))
+        return perm
+
+    def masked_sort(a):
+        (w,) = kdf.encode(a)
+        return counting_engine.sort_word_counting(w, mask)
+
+    cases = {
+        "radix_sort": (value_sort, lambda n: jnp.asarray(keys[:n])),
+        "radix_sort_rank": (rank_sort, lambda n: jnp.asarray(keys[:n])),
+        "counting_masked": (masked_sort, lambda n: jnp.asarray(keys[:n] & np.uint32(mask))),
+        "jnp_sort_baseline": (jnp.sort, lambda n: jnp.asarray(keys[:n])),
+    }
+
+    rows = []
+    for n in _sizes(args.quick):
+        reps = max(1, min(10, 2_000_000 // max(n, 1)))
+        if n >= 1_000_000:
+            reps = 3
+        for name, (fn, mk) in cases.items():
+            x = mk(n)
+            ms = _steady_ms(fn, x, reps)
+            rows.append({
+                "case": name,
+                "n": n,
+                "ms": round(ms, 4),
+                "KeyRate": round(n / (ms / 1e3), 0),
+                "bytes_per_second": round(n * 4 / (ms / 1e3), 0),
+            })
+            print(json.dumps(rows[-1]), flush=True)
+
+    # report file in the spirit of bench.sh (uname + SHA + device + table)
+    outdir = Path(args.out)
+    outdir.mkdir(parents=True, exist_ok=True)
+    sha = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                         capture_output=True, text=True).stdout.strip() or "nogit"
+    stamp = datetime.date.today().isoformat()
+    dev = str(jax.devices()[0]).replace(" ", "-")
+    path = outdir / f"report-{dev}-{stamp}-{sha}.json"
+    path.write_text(json.dumps({
+        "uname": platform.uname()._asdict(),
+        "sha": sha,
+        "device": str(jax.devices()[0]),
+        "jax": jax.__version__,
+        "rows": rows,
+    }, indent=2))
+    print(f"# wrote {path}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
