@@ -50,7 +50,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import kdf
 
-__all__ = ["distributed_sort_u32", "gather_sorted", "make_sort_mesh"]
+__all__ = [
+    "distributed_sort_u32",
+    "distributed_argsort_u32",
+    "distributed_sort_pairs_u32",
+    "gather_sorted",
+    "make_sort_mesh",
+]
 
 _SENTINEL = np.uint32(0xFFFFFFFF)
 
@@ -80,10 +86,35 @@ def _device_of_bucket(global_hist: jax.Array, num_devices: int) -> jax.Array:
     return jnp.clip(dev.astype(jnp.int32), 0, num_devices - 1)
 
 
-def _shard_body(w, axis_name, num_devices, splitter_bits, capacity_per_peer, deal):
-    """Per-shard SPMD body. w: (n_local,) uint32 derived keys, n_local % D == 0."""
+def _shard_body(planes, axis_name, num_devices, splitter_bits, capacity_per_peer,
+                deal, num_key_planes, valid_total):
+    """Per-shard SPMD body.
+
+    planes: tuple of (n_local,) uint32 arrays; planes[:num_key_planes] are
+    sort-key planes (most significant first; plane 0 drives the partition),
+    the rest are payload. With ``num_key_planes == 2`` the second key plane is
+    the global index, which makes the total order strict — the distributed
+    form of the stable-rank guarantee. n_local % D == 0.
+    """
+    w = planes[0]
     n_local = w.shape[0]
     nbuckets = 1 << splitter_bits
+
+    # Live-bit reduction over *valid* keys only, computed pre-deal where each
+    # device knows exactly which of its slots are ragged-n sentinel pads
+    # (global slot d*n_local+i >= valid_total). Pads would otherwise force the
+    # adaptive splitter domain to full 32-bit scale and collapse narrow-range
+    # keys into one bucket.
+    my_dev = lax.axis_index(axis_name)
+    gslot = my_dev * n_local + lax.broadcasted_iota(jnp.int32, (n_local, 1), 0)[:, 0]
+    is_valid = gslot < valid_total
+    local_or = jnp.bitwise_or.reduce(jnp.where(is_valid, w, np.uint32(0)))
+    local_and = jnp.bitwise_and.reduce(jnp.where(is_valid, w, _SENTINEL))
+    gor = jnp.bitwise_or.reduce(lax.all_gather(local_or, axis_name))
+    gand = jnp.bitwise_and.reduce(lax.all_gather(local_and, axis_name))
+    gmask = gor ^ gand
+    all_equal = gmask == 0
+    lshift = jnp.minimum(lax.clz(gmask), 31).astype(jnp.uint32)
 
     # 0. optional "deal": a fixed, destination-independent all_to_all that
     # re-interleaves shards so every device holds an even sample of the global
@@ -92,27 +123,27 @@ def _shard_body(w, axis_name, num_devices, splitter_bits, capacity_per_peer, dea
     # no per-peer capacity short of n_local suffices. Classic sample-sort
     # pre-balancing; costs one extra pass of exchange traffic.
     if deal:
-        w = lax.all_to_all(
-            w.reshape(num_devices, n_local // num_devices),
-            axis_name, split_axis=0, concat_axis=0, tiled=True,
-        ).reshape(-1)
+        planes = tuple(
+            lax.all_to_all(
+                p.reshape(num_devices, n_local // num_devices),
+                axis_name, split_axis=0, concat_axis=0, tiled=True,
+            ).reshape(-1)
+            for p in planes
+        )
+        w = planes[0]
 
-    # 1. local sort (hardware sort unit; keys-only, unstable is exact)
-    ws = lax.sort((w,), dimension=0, is_stable=False, num_keys=1)[0]
+    # 1. local sort (hardware sort unit). Keys-only: unstable is exact.
+    # With an index tiebreak plane the order is strict, so stability is
+    # irrelevant there too.
+    sorted_planes = lax.sort(planes, dimension=0, is_stable=False,
+                             num_keys=num_key_planes)
+    ws = sorted_planes[0]
 
-    # 2a. adaptive splitter domain: left-align buckets at the globally highest
-    # *live* bit (distributed column-skip probe), so low-entropy key ranges
-    # (e.g. all keys < 2^20) still spread over all buckets instead of
-    # collapsing into bucket 0. gmask is replicated: identical on all devices.
-    local_or = jnp.bitwise_or.reduce(ws)
-    local_and = jnp.bitwise_and.reduce(ws)
-    gor = jnp.bitwise_or.reduce(lax.all_gather(local_or, axis_name))
-    gand = jnp.bitwise_and.reduce(lax.all_gather(local_and, axis_name))
-    gmask = gor ^ gand
-    all_equal = gmask == 0
-    lshift = jnp.minimum(lax.clz(gmask), 31).astype(jnp.uint32)
-
-    # 2b. exact global splitter histogram (psum over the mesh)
+    # 2. adaptive splitter domain: buckets left-aligned at the globally
+    # highest live bit (computed above), so low-entropy key ranges (e.g. all
+    # keys < 2^20) spread over all buckets instead of collapsing into bucket
+    # 0; exact global splitter histogram via psum. Sentinel pads saturate to
+    # the top bucket and therefore route to device D-1 like any maximal key.
     b = ((ws << lshift) >> np.uint32(32 - splitter_bits)).astype(jnp.uint32)
     binv = jnp.arange(nbuckets, dtype=jnp.uint32)
     local_hist = jnp.sum(
@@ -132,33 +163,95 @@ def _shard_body(w, axis_name, num_devices, splitter_bits, capacity_per_peer, dea
     )
     out_starts = jnp.cumsum(out_counts) - out_counts
 
-    # 4. pack runs into (D, C) slots, sentinel-padded, and exchange.
-    # A run larger than C cannot be shipped this round; that is *detected*
-    # (never silent) and reported via the overflow flag.
+    # 4. pack runs into (planes, D, C) slots, sentinel-padded, and exchange
+    # with ONE collective. A run larger than C cannot be shipped this round;
+    # that is *detected* (never silent) and reported via the overflow flag.
     C = capacity_per_peer
     overflow = lax.psum(jnp.sum((out_counts > C).astype(jnp.int32)), axis_name)
     out_counts = jnp.minimum(out_counts, C)
     j = jnp.arange(C, dtype=jnp.int32)
-    flat_idx = out_starts[:, None] + j[None, :]
+    flat_idx = jnp.clip(out_starts[:, None] + j[None, :], 0, n_local - 1)
     valid = j[None, :] < out_counts[:, None]
-    gathered = jnp.take(ws, jnp.clip(flat_idx, 0, n_local - 1), axis=0)
-    send = jnp.where(valid, gathered, _SENTINEL)
-    recv = lax.all_to_all(send, axis_name, split_axis=0, concat_axis=0, tiled=True)
+    send = jnp.stack([
+        jnp.where(valid, jnp.take(p, flat_idx, axis=0), _SENTINEL)
+        for p in sorted_planes
+    ])                                                   # (planes, D, C)
+    recv = lax.all_to_all(send, axis_name, split_axis=1, concat_axis=1, tiled=True)
     recv_counts = lax.all_to_all(out_counts, axis_name, split_axis=0, concat_axis=0,
                                  tiled=True)
 
-    # 5. local merge of the received runs; sentinels sort to the tail
-    merged = lax.sort((recv.reshape(-1),), dimension=0, is_stable=False, num_keys=1)[0]
+    # 5. local merge of the received runs; sentinels sort to the tail (the
+    # sentinel index plane is maximal too, so key-plane ties keep real keys
+    # ahead of padding)
+    merged = lax.sort(tuple(recv[i].reshape(-1) for i in range(len(planes))),
+                      dimension=0, is_stable=False, num_keys=num_key_planes)
     count = jnp.sum(recv_counts)
 
-    # all-equal bypass: no movement needed, every shard already holds a sorted
-    # run of the single value; avoids the degenerate one-device hotspot.
-    pad = jnp.full((num_devices * C - n_local,), _SENTINEL)
-    bypass = jnp.concatenate([ws, pad]) if num_devices * C > n_local else ws[: num_devices * C]
-    merged = jnp.where(all_equal, bypass, merged)
-    count = jnp.where(all_equal, n_local, count)
-    overflow = jnp.where(all_equal, 0, overflow)
-    return merged, count[None], overflow[None]
+    # all-equal bypass (keys-only mode, no ragged pads): no movement needed,
+    # every shard already holds a sorted run of the single value; avoids the
+    # degenerate one-device hotspot. With key+index planes the strict order
+    # makes the bypass invalid (indices were dealt), and with ragged-n pads
+    # the per-shard counts would miscount scattered sentinels — both flow
+    # through the exchange instead (or exact mode).
+    if num_key_planes == 1 and len(planes) == 1 and valid_total == num_devices * n_local:
+        padv = jnp.full((num_devices * C - n_local,), _SENTINEL)
+        bypass = (jnp.concatenate([ws, padv])
+                  if num_devices * C > n_local else ws[: num_devices * C])
+        merged = (jnp.where(all_equal, bypass, merged[0]),)
+        count = jnp.where(all_equal, n_local, count)
+        overflow = jnp.where(all_equal, 0, overflow)
+    return (*merged, count[None], overflow[None])
+
+
+def _run_shuffle(planes, mesh, axis_name, splitter_bits, slack, exact,
+                 num_key_planes):
+    """Pad, shard_map the shuffle body over the mesh, adjust counts."""
+    D = mesh.shape[axis_name]
+    n = planes[0].shape[0]
+    if n < D * D:
+        raise ValueError(f"n={n} too small for a {D}-device shuffle (need n >= D^2)")
+    # Pad to a multiple of D^2 with maximal sentinel keys: they sort to the
+    # global tail (device D-1's range in every path, including the all-equal
+    # bypass where keys are then also maximal), so the count adjustment below
+    # is exact. Non-key planes pad with the sentinel too, so a padded row is
+    # maximal under the (key, index) order.
+    pad_total = (-n) % (D * D)
+    if pad_total:
+        planes = tuple(jnp.concatenate([p, jnp.full((pad_total,), _SENTINEL)])
+                       for p in planes)
+    n_local = (n + pad_total) // D
+    if exact:
+        cap = n_local
+    else:
+        expect = -(-n_local // D)
+        cap = min(n_local,
+                  int(expect * (1.0 + slack)) + -(-n_local // (1 << splitter_bits)) + 8)
+    body = partial(
+        _shard_body,
+        axis_name=axis_name,
+        num_devices=D,
+        splitter_bits=splitter_bits,
+        capacity_per_peer=cap,
+        deal=not exact,
+        num_key_planes=num_key_planes,
+        valid_total=n,
+    )
+    nplanes = len(planes)
+    mapped = jax.shard_map(
+        lambda *ps: body(ps),
+        mesh=mesh,
+        in_specs=tuple(P(axis_name) for _ in range(nplanes)),
+        out_specs=tuple(P(axis_name) for _ in range(nplanes + 2)),
+        check_vma=False,
+    )
+    out = mapped(*planes)
+    sorted_planes, counts, overflow = out[:nplanes], out[nplanes], out[nplanes + 1]
+    if pad_total:
+        # elementwise (sharding-friendly) equivalent of counts[D-1] -= pad_total
+        counts = counts - jnp.where(
+            jnp.arange(D, dtype=jnp.int32) == D - 1, pad_total, 0
+        ).astype(counts.dtype)
+    return sorted_planes, counts, overflow
 
 
 @partial(jax.jit, static_argnames=("mesh", "axis_name", "splitter_bits", "slack", "exact"))
@@ -170,12 +263,10 @@ def distributed_sort_u32(
     slack: float = 0.5,
     exact: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Sort a u32 array sharded over a 1-D mesh.
+    """Sort a u32 array sharded over a 1-D mesh (keys only).
 
     Args:
-      x: (n,) uint32, n divisible by the mesh size (callers pad with the
-        maximal key 0xFFFFFFFF if needed — sentinels sort to the tail of the
-        last shard and are dropped by count).
+      x: (n,) uint32, n >= D^2 (any remainder is padded internally).
       mesh: 1-D device mesh.
       splitter_bits: top bits used for range partitioning (buckets = 2**bits).
       slack: per-peer capacity headroom over the uniform expectation
@@ -195,46 +286,60 @@ def distributed_sort_u32(
         ``overflow`` — (D,) int32, nonzero means capacity was exceeded and
         the result is incomplete: retry with ``exact=True`` or more slack.
     """
-    D = mesh.shape[axis_name]
-    n = x.shape[0]
-    if n < D * D:
-        raise ValueError(f"n={n} too small for a {D}-device shuffle (need n >= D^2)")
-    # Pad to a multiple of D^2 with maximal sentinel keys: they sort to the
-    # global tail (device D-1's range in every path, including the all-equal
-    # bypass where keys are then also maximal), so the count adjustment below
-    # is exact.
-    pad_total = (-n) % (D * D)
-    if pad_total:
-        x = jnp.concatenate([x, jnp.full((pad_total,), _SENTINEL)])
-    n_local = (n + pad_total) // D
-    if exact:
-        cap = n_local
-    else:
-        expect = -(-n_local // D)
-        cap = min(n_local,
-                  int(expect * (1.0 + slack)) + -(-n_local // (1 << splitter_bits)) + 8)
-    body = partial(
-        _shard_body,
-        axis_name=axis_name,
-        num_devices=D,
-        splitter_bits=splitter_bits,
-        capacity_per_peer=cap,
-        deal=not exact,
-    )
-    mapped = jax.shard_map(
-        body,
-        mesh=mesh,
-        in_specs=P(axis_name),
-        out_specs=(P(axis_name), P(axis_name), P(axis_name)),
-        check_vma=False,
-    )
-    sorted_padded, counts, overflow = mapped(x)
-    if pad_total:
-        # elementwise (sharding-friendly) equivalent of counts[D-1] -= pad_total
-        counts = counts - jnp.where(
-            jnp.arange(D, dtype=jnp.int32) == D - 1, pad_total, 0
-        ).astype(counts.dtype)
+    (sorted_padded,), counts, overflow = _run_shuffle(
+        (x,), mesh, axis_name, splitter_bits, slack, exact, num_key_planes=1)
     return sorted_padded, counts, overflow
+
+
+@partial(jax.jit, static_argnames=("mesh", "axis_name", "splitter_bits", "slack", "exact"))
+def distributed_argsort_u32(
+    x: jax.Array,
+    mesh: Mesh,
+    axis_name: str = "shards",
+    splitter_bits: int = 12,
+    slack: float = 0.5,
+    exact: bool = False,
+):
+    """Distributed stable rank sort: global argsort of a mesh-sharded u32 array.
+
+    The distributed form of the rank sort (`radix_sort_rank.hpp:97-112`): the
+    global index rides as a second sort-key plane, making the total order
+    strict — so the resulting permutation is exactly the unique stable one,
+    independent of how shards, deal rounds, or merges interleaved.
+
+    Returns (sorted_keys_padded, perm_padded, counts, overflow); shard d's
+    first counts[d] entries of ``perm_padded`` are the global input indices
+    in stable key order.
+    """
+    n = x.shape[0]
+    idx = jnp.arange(n, dtype=jnp.uint32)
+    (sk, sp), counts, overflow = _run_shuffle(
+        (x, idx), mesh, axis_name, splitter_bits, slack, exact, num_key_planes=2)
+    return sk, sp, counts, overflow
+
+
+@partial(jax.jit, static_argnames=("mesh", "axis_name", "splitter_bits", "slack", "exact"))
+def distributed_sort_pairs_u32(
+    x: jax.Array,
+    payload: jax.Array,
+    mesh: Mesh,
+    axis_name: str = "shards",
+    splitter_bits: int = 12,
+    slack: float = 0.5,
+    exact: bool = False,
+):
+    """Distributed stable record sort: keys + one u32 payload plane.
+
+    Stability is realized by the same global-index tiebreak as
+    :func:`distributed_argsort_u32`; the payload plane follows the exchange.
+    Returns (sorted_keys_padded, payload_padded, counts, overflow).
+    """
+    n = x.shape[0]
+    idx = jnp.arange(n, dtype=jnp.uint32)
+    (sk, _, pl), counts, overflow = _run_shuffle(
+        (x, idx, payload.astype(jnp.uint32)), mesh, axis_name, splitter_bits,
+        slack, exact, num_key_planes=2)
+    return sk, pl, counts, overflow
 
 
 def gather_sorted(sorted_padded: jax.Array, counts: jax.Array,

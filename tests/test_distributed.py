@@ -11,6 +11,8 @@ import jax
 import jax.numpy as jnp
 
 from radix_sorting_tpu.parallel import (
+    distributed_argsort_u32,
+    distributed_sort_pairs_u32,
     distributed_sort_u32,
     gather_sorted,
     global_digit_histogram,
@@ -126,3 +128,47 @@ def test_splitter_bits_variants(rng, mesh):
         sp, counts, ovf = distributed_sort_u32(jnp.asarray(x), mesh, splitter_bits=sb)
         out = gather_sorted(sp, counts, ovf)
         assert np.array_equal(out, np.sort(x))
+
+
+def test_distributed_argsort(rng, mesh):
+    # duplicate-heavy keys: the permutation must be exactly the stable one
+    n = 1 << 15
+    x = rng.integers(0, 1000, size=n, dtype=np.uint32)
+    sk, perm, counts, ovf = distributed_argsort_u32(jnp.asarray(x), mesh)
+    keys_sorted = gather_sorted(sk, counts, ovf)
+    perm_g = gather_sorted(perm, counts, ovf)
+    assert np.array_equal(perm_g, np.argsort(x, kind="stable").astype(np.uint32))
+    assert np.array_equal(keys_sorted, np.sort(x))
+
+
+def test_distributed_argsort_presorted(rng, mesh):
+    n = 1 << 14
+    x = np.repeat(np.arange(n // 4, dtype=np.uint32), 4)  # sorted with dups
+    sk, perm, counts, ovf = distributed_argsort_u32(jnp.asarray(x), mesh)
+    perm_g = gather_sorted(perm, counts, ovf)
+    assert np.array_equal(perm_g, np.arange(n, dtype=np.uint32))
+
+
+def test_distributed_sort_pairs(rng, mesh):
+    n = (1 << 14) + 321  # ragged: exercises padding with payload
+    x = rng.integers(0, 512, size=n, dtype=np.uint32)
+    payload = rng.integers(0, 1 << 32, size=n, dtype=np.uint32)
+    sk, pl, counts, ovf = distributed_sort_pairs_u32(
+        jnp.asarray(x), jnp.asarray(payload), mesh)
+    keys_sorted = gather_sorted(sk, counts, ovf)
+    payload_sorted = gather_sorted(pl, counts, ovf)
+    order = np.argsort(x, kind="stable")
+    assert np.array_equal(keys_sorted, x[order])
+    assert np.array_equal(payload_sorted, payload[order])
+
+
+def test_distributed_pairs_all_equal_exact(rng, mesh):
+    # all-equal keys with payload: bypass is disabled; exact mode must keep
+    # the stable (index) order end-to-end
+    n = 1 << 13
+    x = np.full(n, 7, np.uint32)
+    payload = rng.integers(0, 1 << 32, size=n, dtype=np.uint32)
+    sk, pl, counts, ovf = distributed_sort_pairs_u32(
+        jnp.asarray(x), jnp.asarray(payload), mesh, exact=True)
+    payload_sorted = gather_sorted(pl, counts, ovf)
+    assert np.array_equal(payload_sorted, payload)
