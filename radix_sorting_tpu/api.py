@@ -153,7 +153,8 @@ def _static_live_mask(words, value_mask, dtype, cfg: SortConfig) -> Optional[int
 # public ops
 
 
-def sort(x, *, config: SortConfig = DEFAULT_CONFIG, value_mask: Optional[int] = None):
+def sort(x, *, config: SortConfig = DEFAULT_CONFIG, value_mask: Optional[int] = None,
+         validate_mask: bool = False):
     """Stable sort of a 1-D key array. Returns the sorted array (same dtype).
 
     The keys-only equivalent of `radix_sort(src, aux, n)` (`radix_sort.hpp:98`).
@@ -164,13 +165,25 @@ def sort(x, *, config: SortConfig = DEFAULT_CONFIG, value_mask: Optional[int] = 
     before sorting). It enables the COUNTING fast path when few bits are
     live. A violated promise silently truncates keys to the mask, exactly as
     feeding unmasked data to the reference's masked experiment would; mask
-    the data first (``x & mask``) if unsure.
+    the data first (``x & mask``) if unsure, or pass ``validate_mask=True``
+    to pay one OR-reduce (plus a host sync) and get a ValueError instead.
     """
     cfg = config
     words, dtype = _as_words(x, cfg.descending)
     n = int(words[0].shape[0])
     if n <= 1:
         return x if not isinstance(x, np.ndarray) else x.copy()
+    if value_mask is not None and validate_mask:
+        raw = jnp.asarray(x).view(jnp.dtype(f"uint{jnp.dtype(x.dtype).itemsize * 8}")) \
+            if not isinstance(x, np.ndarray) else x.view(f"u{x.dtype.itemsize}")
+        stray = int(jnp.bitwise_or.reduce(jnp.asarray(raw).astype(jnp.uint32))
+                    if jnp.dtype(raw.dtype).itemsize <= 4
+                    else 0) & ~int(value_mask)
+        if stray:
+            raise ValueError(
+                f"value_mask violated: keys carry live bits 0x{stray:08X} "
+                f"outside mask 0x{int(value_mask):08X}"
+            )
 
     strategy = cfg.strategy
     if strategy == Strategy.AUTO:

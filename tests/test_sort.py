@@ -102,6 +102,17 @@ def test_value_mask_counting_path(rng):
         rst.sort(jnp.asarray(x), config=rst.SortConfig(strategy=rst.Strategy.COUNTING))
 
 
+def test_value_mask_validation(rng):
+    mask = 0x0000FF00
+    good = (rng.integers(0, 1 << 32, size=1000, dtype=np.uint32) & mask).astype(np.uint32)
+    out = np.asarray(rst.sort(jnp.asarray(good), value_mask=mask, validate_mask=True))
+    assert np.array_equal(out, np.sort(good))
+    bad = good.copy()
+    bad[17] |= 0x10000
+    with pytest.raises(ValueError, match="value_mask violated"):
+        rst.sort(jnp.asarray(bad), value_mask=mask, validate_mask=True)
+
+
 def test_value_mask_descending(rng):
     mask = 0x0000FF00
     x = (rng.integers(0, 1 << 32, size=50_000, dtype=np.uint32) & mask).astype(np.uint32)
