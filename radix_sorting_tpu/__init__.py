@@ -22,6 +22,7 @@ from .api import (
     sort_u64_multipass,
 )
 from .config import DEFAULT_CONFIG, SortConfig, Strategy
+from .extras import lexsort, unique_sorted
 from .ops.bitmap import bitmap_unique_sort
 
 __version__ = "0.1.0"
@@ -34,6 +35,8 @@ __all__ = [
     "counting_sort",
     "sort_u64_multipass",
     "bitmap_unique_sort",
+    "lexsort",
+    "unique_sorted",
     "SortConfig",
     "Strategy",
     "DEFAULT_CONFIG",

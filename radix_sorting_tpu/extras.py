@@ -1,0 +1,71 @@
+"""Sort-adjacent operations built on the engine stack.
+
+Not part of the reference's surface, but natural capabilities of a sort
+framework and trivial over the existing machinery: multi-key lexicographic
+sorting (the generalization of the reference's record sort) and sorted-unique
+extraction (the generalization of `bitmap_sort_16.c` to wide domains).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .api import _as_words
+from .config import DEFAULT_CONFIG, SortConfig
+from .ops import hw_engine
+
+__all__ = ["lexsort", "unique_sorted"]
+
+
+def lexsort(keys: Sequence, *, config: SortConfig = DEFAULT_CONFIG) -> jax.Array:
+    """Stable argsort by multiple keys, last key most significant (numpy order).
+
+    Each key may be any supported dtype; all are KDF-encoded and concatenated
+    into one multi-word derived key, sorted in a single fused stable sort —
+    the multi-word generalization of the reference's KDF composition.
+    """
+    keys = list(keys)
+    if not keys:
+        raise ValueError("lexsort needs at least one key")
+    words = []
+    n = None
+    for k in reversed(keys):  # numpy: last key is primary
+        w, _ = _as_words(k, config.descending)
+        if n is None:
+            n = int(w[0].shape[0])
+        elif int(w[0].shape[0]) != n:
+            raise ValueError("lexsort keys must share a common length")
+        words.extend(w)
+    iota = jnp.arange(n, dtype=jnp.uint32)
+    _, (perm,) = hw_engine.sort_words(tuple(words), (iota,))
+    return perm
+
+
+def unique_sorted(x, *, size: Optional[int] = None,
+                  config: SortConfig = DEFAULT_CONFIG) -> Tuple[jax.Array, jax.Array]:
+    """Sorted unique values with a fixed-shape contract: (values, count).
+
+    ``values`` has static length ``size`` (default n); slots past ``count``
+    repeat the maximum value. The wide-domain generalization of the bitmap
+    unique-sort (`bitmap_sort_16.c`): sort, then keep boundary elements.
+    """
+    from . import api
+
+    s = api.sort(x, config=config)
+    sj = jnp.asarray(s)
+    n = int(sj.shape[0])
+    if size is None:
+        size = n
+    if n == 0:
+        return jnp.zeros((size,), sj.dtype), jnp.int32(0)
+    raw = sj.view(jnp.dtype(f"uint{jnp.dtype(sj.dtype).itemsize * 8}")) \
+        if jnp.dtype(sj.dtype).kind not in ("u", "i") else sj
+    is_new = jnp.concatenate([jnp.ones((1,), jnp.bool_), raw[1:] != raw[:-1]])
+    count = jnp.sum(is_new.astype(jnp.int32))
+    # compact boundary values into the front, fixed shape
+    idx, = jnp.nonzero(is_new, size=size, fill_value=n - 1)
+    return sj[idx], count

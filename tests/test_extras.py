@@ -1,0 +1,56 @@
+"""lexsort / unique_sorted tests vs numpy oracles, plus 64-bit pair sorts."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+import radix_sorting_tpu as rst
+from radix_sorting_tpu.extras import lexsort, unique_sorted
+
+
+def test_lexsort_two_keys(rng):
+    a = rng.integers(0, 16, size=10_000, dtype=np.uint32)   # secondary
+    b = rng.integers(0, 16, size=10_000, dtype=np.int32)    # primary (last)
+    perm = np.asarray(lexsort([jnp.asarray(a), jnp.asarray(b)]))
+    assert np.array_equal(perm, np.lexsort((a, b)).astype(np.uint32))
+
+
+def test_lexsort_mixed_dtypes(rng):
+    a = rng.standard_normal(5_000).astype(np.float32)
+    b = rng.integers(0, 4, size=5_000, dtype=np.uint8)
+    perm = np.asarray(lexsort([jnp.asarray(a), jnp.asarray(b)]))
+    assert np.array_equal(perm, np.lexsort((a, b)).astype(np.uint32))
+
+
+def test_lexsort_u64_key(rng):
+    a = rng.integers(0, 1 << 64, size=5_000, dtype=np.uint64)
+    perm = np.asarray(lexsort([a]))
+    assert np.array_equal(perm, np.argsort(a, kind="stable").astype(np.uint32))
+
+
+def test_unique_sorted(rng):
+    x = rng.integers(0, 500, size=20_000, dtype=np.uint32)
+    values, count = unique_sorted(jnp.asarray(x))
+    uq = np.unique(x)
+    assert int(count) == len(uq)
+    assert np.array_equal(np.asarray(values)[: len(uq)], uq)
+
+
+def test_unique_sorted_floats(rng):
+    x = np.repeat(rng.standard_normal(100).astype(np.float32), 7)
+    rng.shuffle(x)
+    values, count = unique_sorted(jnp.asarray(x), size=256)
+    uq = np.unique(x)
+    assert int(count) == len(uq)
+    assert np.array_equal(np.asarray(values)[: len(uq)], uq)
+
+
+def test_sort_pairs_u64_keys(rng):
+    # 64-bit keys with payload: two-word stable pair sort (numpy u64 input
+    # works without enabling x64 — keys split into hi/lo planes host-side)
+    k = rng.integers(0, 1 << 64, size=8_000, dtype=np.uint64)
+    v = rng.integers(0, 1 << 32, size=8_000, dtype=np.uint32)
+    sk, sv = rst.sort_pairs(k, jnp.asarray(v))
+    order = np.argsort(k, kind="stable")
+    assert np.array_equal(np.asarray(sk, dtype=np.uint64), k[order])
+    assert np.array_equal(np.asarray(sv), v[order])
