@@ -51,6 +51,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..ops import kdf
 
 __all__ = [
+    "distributed_sort",
     "distributed_sort_u32",
     "distributed_argsort_u32",
     "distributed_sort_pairs_u32",
@@ -316,6 +317,42 @@ def distributed_argsort_u32(
     (sk, sp), counts, overflow = _run_shuffle(
         (x, idx), mesh, axis_name, splitter_bits, slack, exact, num_key_planes=2)
     return sk, sp, counts, overflow
+
+
+def distributed_sort(
+    x,
+    mesh: Mesh,
+    axis_name: str = "shards",
+    descending: bool = False,
+    **kw,
+):
+    """Dtype-generic distributed sort: any supported key dtype, either order.
+
+    KDF-encodes (with descending complement), runs the u32 shuffle, decodes.
+    64-bit dtypes partition on the high word — correct for any input, but a
+    constant high word routes through the overflow/exact path (the adaptive
+    splitter only sees plane 0); prefer 32-bit keys for maximum balance.
+
+    Returns (sorted_padded_values, counts, overflow); padding slots decode
+    from the sentinel key and must be dropped via counts (use
+    :func:`gather_sorted` on the *decoded* array).
+    """
+    from ..api import _as_words, _decode
+    words, dtype = _as_words(x, descending)
+    if len(words) == 1:
+        (sp,), counts, overflow = _run_shuffle(
+            (words[0],), mesh, axis_name,
+            kw.get("splitter_bits", 12), kw.get("slack", 0.5),
+            kw.get("exact", False), num_key_planes=1)
+        vals = _decode((sp,), dtype, descending)
+        return vals, counts, overflow
+    hi, lo = words
+    (shi, slo), counts, overflow = _run_shuffle(
+        (hi, lo), mesh, axis_name,
+        kw.get("splitter_bits", 12), kw.get("slack", 0.5),
+        kw.get("exact", False), num_key_planes=2)
+    vals = _decode((shi, slo), dtype, descending)
+    return vals, counts, overflow
 
 
 @partial(jax.jit, static_argnames=("mesh", "axis_name", "splitter_bits", "slack", "exact"))
