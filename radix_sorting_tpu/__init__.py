@@ -15,14 +15,17 @@ Distributed:
 
 from .api import (
     argsort,
+    argsort_batched,
     counting_sort,
     rank_sort,
     sort,
+    sort_batched,
     sort_pairs,
+    sort_pairs_batched,
     sort_u64_multipass,
 )
 from .config import DEFAULT_CONFIG, SortConfig, Strategy
-from .extras import lexsort, unique_sorted
+from .extras import lexsort, segmented_argsort, segmented_sort, top_k, unique_sorted
 from .ops.bitmap import bitmap_unique_sort
 
 __version__ = "0.1.0"
@@ -34,9 +37,15 @@ __all__ = [
     "sort_pairs",
     "counting_sort",
     "sort_u64_multipass",
+    "sort_batched",
+    "argsort_batched",
+    "sort_pairs_batched",
     "bitmap_unique_sort",
     "lexsort",
     "unique_sorted",
+    "segmented_sort",
+    "segmented_argsort",
+    "top_k",
     "SortConfig",
     "Strategy",
     "DEFAULT_CONFIG",

@@ -30,6 +30,7 @@ from typing import Any, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from .config import DEFAULT_CONFIG, SortConfig, Strategy
 from .ops import counting_engine, hw_engine, kdf, lsd_engine, probes
@@ -41,6 +42,9 @@ __all__ = [
     "sort_pairs",
     "counting_sort",
     "sort_u64_multipass",
+    "sort_batched",
+    "argsort_batched",
+    "sort_pairs_batched",
 ]
 
 
@@ -48,14 +52,14 @@ __all__ = [
 # input normalization
 
 
-def _as_words(x, descending: bool) -> Tuple[Tuple[jax.Array, ...], Any]:
+def _as_words(x, descending: bool, allow_nd: bool = False) -> Tuple[Tuple[jax.Array, ...], Any]:
     """KDF-encode an input array (jax or numpy) into uint32 word planes.
 
     Returns (words, original_dtype). Handles 64-bit numpy inputs without x64 by
     splitting into hi/lo planes host-side.
     """
     if isinstance(x, np.ndarray) and x.dtype.itemsize == 8 and not jax.config.jax_enable_x64:
-        u = x.view(np.uint64)
+        u = np.ascontiguousarray(x).view(np.uint64)
         hi = jnp.asarray((u >> np.uint64(32)).astype(np.uint32))
         lo = jnp.asarray(u.astype(np.uint32))
         # Apply the 64-bit KDF rules on the planes (see ops/kdf.py).
@@ -72,7 +76,7 @@ def _as_words(x, descending: bool) -> Tuple[Tuple[jax.Array, ...], Any]:
             words = kdf.complement(words)
         return words, np.dtype(x.dtype)
     xa = jnp.asarray(x)
-    if xa.ndim != 1:
+    if xa.ndim != 1 and not allow_nd:
         raise ValueError(f"keys must be 1-D, got shape {xa.shape}")
     return kdf.encode(xa, descending=descending), xa.dtype
 
@@ -324,3 +328,88 @@ def sort_u64_multipass(x, *, config: SortConfig = DEFAULT_CONFIG):
     # (stability is what makes the composition correct, `README.md:471-473`)
     (hi2,), (lo2,) = hw_engine.sort_words((hi1,), (lo1,))
     return _decode((hi2, lo2), dtype, cfg.descending)
+
+
+# ---------------------------------------------------------------------------
+# batched (multi-row) sorts
+#
+# The reference is strictly 1-D (`radix_sort.hpp:98`: one array, one aux
+# buffer), so these have no reference counterpart — they are the natural
+# TPU extension: `lax.sort` sorts along any dimension of an N-D operand in
+# one fused device program, so a (B, n) batch costs one dispatch, not B.
+
+
+def _moveaxis_last(x, axis: int):
+    """(x with `axis` moved last, normalized axis). Works for jax and numpy."""
+    ndim = x.ndim
+    if not -ndim <= axis < ndim:
+        raise ValueError(f"axis {axis} out of bounds for {ndim}-D keys")
+    axis %= ndim
+    if axis == ndim - 1:
+        return x, axis
+    if isinstance(x, np.ndarray):
+        return np.ascontiguousarray(np.moveaxis(x, axis, -1)), axis
+    return jnp.moveaxis(x, axis, -1), axis
+
+
+def _restore_axis(x, axis: int):
+    if axis == x.ndim - 1:
+        return x
+    mv = np.moveaxis if isinstance(x, np.ndarray) else jnp.moveaxis
+    return mv(x, -1, axis)
+
+
+def sort_batched(x, *, axis: int = -1, config: SortConfig = DEFAULT_CONFIG):
+    """Independently sort every 1-D slice of ``x`` along ``axis``.
+
+    Keys-only, any supported dtype, ascending or descending via
+    ``config.descending``. One fused device sort over the whole batch.
+    """
+    xm, axis = _moveaxis_last(x, axis)
+    words, dtype = _as_words(xm, config.descending, allow_nd=True)
+    dim = words[0].ndim - 1
+    sw = lax.sort(tuple(words), dimension=dim, is_stable=False,
+                  num_keys=len(words))
+    return _restore_axis(_decode(tuple(sw), dtype, config.descending), axis)
+
+
+def argsort_batched(x, *, axis: int = -1, config: SortConfig = DEFAULT_CONFIG,
+                    index_dtype=jnp.uint32):
+    """Stable argsort of every 1-D slice along ``axis``.
+
+    Returns per-slice indices (the batched form of :func:`argsort`); ties
+    resolve to the lower index, the unique stable permutation per row.
+    """
+    xm, axis = _moveaxis_last(x, axis)
+    words, _ = _as_words(xm, config.descending, allow_nd=True)
+    dim = words[0].ndim - 1
+    iota = lax.broadcasted_iota(index_dtype, words[0].shape, dim)
+    out = lax.sort(tuple(words) + (iota,), dimension=dim, is_stable=True,
+                   num_keys=len(words))
+    return _restore_axis(out[-1], axis)
+
+
+def sort_pairs_batched(keys, values, *, axis: int = -1,
+                       config: SortConfig = DEFAULT_CONFIG):
+    """Stable batched record sort: keys + payload pytree, each leaf key-shaped.
+
+    The batched form of :func:`sort_pairs`; every leaf is permuted by its
+    row's stable key order in the same fused sort.
+    """
+    key_shape = tuple(jnp.shape(keys))
+    km, axis = _moveaxis_last(keys, axis)
+    words, dtype = _as_words(km, config.descending, allow_nd=True)
+    dim = words[0].ndim - 1
+    leaves, treedef = jax.tree.flatten(values)
+    moved = []
+    for leaf in leaves:
+        la = jnp.asarray(leaf)
+        if tuple(la.shape) != key_shape:
+            raise ValueError("payload leaves must match the keys' shape")
+        moved.append(_moveaxis_last(la, axis)[0])
+    out = lax.sort(tuple(words) + tuple(moved), dimension=dim, is_stable=True,
+                   num_keys=len(words))
+    sw, sp = out[: len(words)], out[len(words):]
+    sorted_keys = _restore_axis(_decode(tuple(sw), dtype, config.descending), axis)
+    sorted_values = jax.tree.unflatten(treedef, [_restore_axis(p, axis) for p in sp])
+    return sorted_keys, sorted_values

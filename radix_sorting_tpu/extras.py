@@ -18,7 +18,8 @@ from .api import _as_words
 from .config import DEFAULT_CONFIG, SortConfig
 from .ops import hw_engine
 
-__all__ = ["lexsort", "unique_sorted"]
+__all__ = ["lexsort", "unique_sorted", "segmented_sort", "segmented_argsort",
+           "top_k"]
 
 
 def lexsort(keys: Sequence, *, config: SortConfig = DEFAULT_CONFIG) -> jax.Array:
@@ -69,3 +70,64 @@ def unique_sorted(x, *, size: Optional[int] = None,
     # compact boundary values into the front, fixed shape
     idx, = jnp.nonzero(is_new, size=size, fill_value=n - 1)
     return sj[idx], count
+
+
+def segmented_sort(keys, segment_ids, *, config: SortConfig = DEFAULT_CONFIG):
+    """Sort keys within segments: one fused sort by the (segment, key) composite.
+
+    ``segment_ids`` is an integer array of the keys' length. Returns
+    ``(sorted_keys, sorted_segment_ids)`` ordered by segment id first, then by
+    key within each segment (``config.descending`` applies to the *keys* only).
+    If the input segments are already grouped and in ascending id order —
+    the contiguous-offsets layout of classic segmented sorts — the segment
+    layout is preserved exactly and only intra-segment order changes.
+    """
+    from .api import _as_words, _decode
+
+    seg_words, seg_dtype = _as_words(segment_ids, False)
+    key_words, key_dtype = _as_words(keys, config.descending)
+    if seg_words[0].shape != key_words[0].shape:
+        raise ValueError("segment_ids must match the keys' length")
+    words = tuple(seg_words) + tuple(key_words)
+    sw, _ = hw_engine.sort_words(words, (), stable=False)
+    sorted_ids = _decode(sw[: len(seg_words)], seg_dtype, False)
+    sorted_keys = _decode(sw[len(seg_words):], key_dtype, config.descending)
+    return sorted_keys, sorted_ids
+
+
+def segmented_argsort(keys, segment_ids, *, config: SortConfig = DEFAULT_CONFIG,
+                      index_dtype=jnp.uint32):
+    """Stable argsort by (segment, key): the permutation form of
+    :func:`segmented_sort`, ties within a segment resolve to the lower index.
+    """
+    from .api import _as_words
+
+    seg_words, _ = _as_words(segment_ids, False)
+    key_words, _ = _as_words(keys, config.descending)
+    if seg_words[0].shape != key_words[0].shape:
+        raise ValueError("segment_ids must match the keys' length")
+    n = int(key_words[0].shape[0])
+    iota = jnp.arange(n, dtype=index_dtype)
+    _, (perm,) = hw_engine.sort_words(tuple(seg_words) + tuple(key_words), (iota,))
+    return perm
+
+
+def top_k(x, k: int, *, largest: bool = True, index_dtype=jnp.uint32):
+    """Top-k values of ``x`` with their stable original indices.
+
+    Returns ``(values, indices)`` of static length ``k``, ordered best-first
+    (descending for ``largest=True``); ties resolve to the lower original
+    index. Any supported key dtype, including the 64-bit two-plane keys that
+    ``lax.top_k`` cannot express — the selection rides the same derived-key
+    sorter as everything else.
+    """
+    from .api import _as_words, _decode
+
+    words, dtype = _as_words(x, largest)
+    n = int(words[0].shape[0])
+    if not 0 < k <= n:
+        raise ValueError(f"k must be in [1, {n}], got {k}")
+    iota = jnp.arange(n, dtype=index_dtype)
+    sw, (perm,) = hw_engine.sort_words(tuple(words), (iota,))
+    top_words = tuple(w[:k] for w in sw)
+    return _decode(top_words, dtype, largest), perm[:k]
