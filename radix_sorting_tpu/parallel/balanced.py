@@ -1,0 +1,334 @@
+"""Balanced distributed sort: exact-quantile partition + bounded-memory exchange.
+
+The single-collective shuffle (:mod:`.shuffle`) partitions on top-digit
+buckets, so adversarial skew can overload a device past its exchange capacity
+— detected, never silent, but the recovery (``exact=True``) costs D-fold
+exchange memory. This module is the principled fix (ROADMAP "multi-round
+exchange" item): a partition that is *perfectly balanced by construction* for
+every input distribution, paired with a chunked multi-round exchange whose
+transient memory is O(n/D) per device no matter how skewed the data is.
+
+Design (SPMD over a 1-D mesh, one `shard_map`):
+
+1. **Strict composite order.** Partitioning happens on a composite key that is
+   globally *strict*: the sort-key planes followed by a tiebreak plane (the
+   global index for rank/record sorts, which already ride one; a synthetic
+   global-slot plane — never shipped — for keys-only sorts). Strictness is
+   what makes exact balance possible: equal keys are split *by count* across
+   the boundary devices, the distributed generalization of the reference's
+   stable within-bucket order (`counting_sort_8s.c:23-34`). All-equal and
+   two-value degenerate inputs need no special casing at all.
+
+2. **Exact quantile selection** (distributed k-th smallest): the splitter for
+   device d is the composite of global rank d*(n/D), found by a bitwise
+   binary search over the composite's bit-string — the greedy invariant
+   "largest v with #{x < v} <= target" — with one `psum` per bit. Counting
+   #{x < v} is a vectorized lower-bound binary search on the locally sorted
+   shard, so each of the 32*planes rounds costs O(D log n_local) scalar work
+   plus one (D-1,)-wide `psum`. Unlike sampling-based splitters there is no
+   distribution assumption and no failure mode: every device receives
+   *exactly* n/D keys.
+
+3. **Multi-round chunked all-to-all.** Each device's outgoing keys for a
+   destination form one contiguous run of its sorted shard. Runs ship in
+   chunks of ``chunk`` keys per peer per round (`lax.fori_loop` over
+   ceil(max_run/chunk) rounds, a replicated value), so the transient exchange
+   buffer is D*chunk instead of the worst-case D*n_local. Receivers place
+   each source's chunks at precomputed offsets (from one counts all-to-all);
+   a final local sort of the accumulator restores order. Total per-device
+   memory: n/D keys received (exact) + D*chunk transient — bounded for any
+   input, with zero overflow paths.
+
+The result contract matches :mod:`.shuffle` (padded shards + counts +
+overflow), but ``counts`` is *static* — device d holds global ranks
+[d*ceil(n/D), (d+1)*ceil(n/D)) by construction — and ``overflow`` is
+identically zero.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+__all__ = [
+    "distributed_sort_balanced",
+    "distributed_sort_balanced_u32",
+    "distributed_argsort_balanced_u32",
+    "distributed_sort_pairs_balanced_u32",
+]
+
+_SENTINEL = np.uint32(0xFFFFFFFF)
+
+
+def _lex_less(a: Sequence[jax.Array], b: Sequence[jax.Array]) -> jax.Array:
+    """Elementwise lexicographic a < b over matching tuples of u32 planes."""
+    out = a[-1] < b[-1]
+    for ai, bi in zip(reversed(a[:-1]), reversed(b[:-1])):
+        out = (ai < bi) | ((ai == bi) & out)
+    return out
+
+
+def _lower_bound(sorted_planes, piv_planes, n_local: int) -> jax.Array:
+    """#{elements < pivot} for each pivot, via binary search on the sorted shard.
+
+    sorted_planes: tuple of (n_local,) u32, ascending in composite order.
+    piv_planes: tuple of (Q,) u32. Returns (Q,) int32 in [0, n_local].
+    """
+    q = piv_planes[0].shape[0]
+    steps = max(1, int(n_local).bit_length())
+    lo = jnp.zeros((q,), jnp.int32)
+    hi = jnp.full((q,), n_local, jnp.int32)
+
+    def body(_, state):
+        lo, hi = state
+        mid = (lo + hi) // 2
+        elem = tuple(jnp.take(p, jnp.clip(mid, 0, n_local - 1)) for p in sorted_planes)
+        less = _lex_less(elem, piv_planes)  # element < pivot -> answer right of mid
+        active = lo < hi
+        lo2 = jnp.where(active & less, mid + 1, lo)
+        hi2 = jnp.where(active & ~less, mid, hi)
+        return lo2, hi2
+
+    lo, _ = lax.fori_loop(0, steps, body, (lo, hi))
+    return lo
+
+
+def _select_pivots(part_sorted, targets, axis_name, n_local: int):
+    """Exact global-rank selection: pivot[q] = composite of global rank targets[q].
+
+    Bitwise greedy MSB-first over the concatenated planes: keep a bit iff the
+    trial value still has #{x < trial} <= target globally. Composites are
+    strict (distinct), so the greedy maximum IS the element at that rank.
+    """
+    npp = len(part_sorted)
+    q = targets.shape[0]
+    fixed = []
+    for plane_i in range(npp):
+        zeros_after = tuple(jnp.zeros((q,), jnp.uint32) for _ in range(npp - plane_i - 1))
+
+        def bit_body(i, acc, _fixed=tuple(fixed), _after=zeros_after):
+            bit = jnp.left_shift(jnp.uint32(1), (jnp.int32(31) - i).astype(jnp.uint32))
+            trial = _fixed + ((acc | bit),) + _after
+            cnt = _lower_bound(part_sorted, trial, n_local)
+            gcnt = lax.psum(cnt, axis_name)
+            return jnp.where(gcnt <= targets, acc | bit, acc)
+
+        fixed.append(lax.fori_loop(0, 32, bit_body, jnp.zeros((q,), jnp.uint32)))
+    return tuple(fixed)
+
+
+def _balanced_body(planes, axis_name, num_devices, num_key_planes, strict,
+                   chunk, n_local):
+    """Per-shard SPMD body. planes = key planes (MSW first) + payload planes.
+
+    strict=True means the key planes alone form a strict total order (rank and
+    record sorts carry the global-index plane); otherwise a synthetic
+    global-slot plane joins the local sort and the partition but is not
+    shipped.
+    """
+    D = num_devices
+    c = chunk
+    my_dev = lax.axis_index(axis_name)
+
+    # 1. local sort by the strict composite; payload rides along
+    if strict:
+        sorted_all = lax.sort(planes, dimension=0, is_stable=False,
+                              num_keys=num_key_planes)
+        part_sorted = sorted_all[:num_key_planes]
+        shipped = sorted_all
+    else:
+        gslot = (my_dev.astype(jnp.uint32) * np.uint32(n_local)
+                 + lax.broadcasted_iota(jnp.uint32, (n_local,), 0))
+        ops = planes[:num_key_planes] + (gslot,) + planes[num_key_planes:]
+        sorted_all = lax.sort(ops, dimension=0, is_stable=False,
+                              num_keys=num_key_planes + 1)
+        part_sorted = sorted_all[: num_key_planes + 1]
+        shipped = sorted_all[:num_key_planes] + sorted_all[num_key_planes + 1:]
+    nship = len(shipped)
+
+    # 2. exact quantile pivots at global ranks d*n_local, d = 1..D-1
+    targets = jnp.arange(1, D, dtype=jnp.int32) * n_local
+    piv = _select_pivots(part_sorted, targets, axis_name, n_local)
+
+    # 3. contiguous outgoing runs per destination
+    starts_mid = _lower_bound(part_sorted, piv, n_local)
+    starts = jnp.concatenate([
+        jnp.zeros((1,), jnp.int32), starts_mid, jnp.full((1,), n_local, jnp.int32)
+    ])
+    out_starts = starts[:-1]
+    out_counts = starts[1:] - starts[:-1]  # (D,), sums to n_local
+
+    # 4. receive bookkeeping: one counts all-to-all tells every device how
+    # much arrives from each source (total is exactly n_local by construction)
+    recv_total = lax.all_to_all(out_counts, axis_name, split_axis=0,
+                                concat_axis=0, tiled=True)
+    rounds_from = (recv_total + c - 1) // c
+    padded = rounds_from * c
+    acc_start = jnp.cumsum(padded) - padded
+    A = n_local + (D + 1) * c  # >= sum(padded) + dustbin chunk
+    dustbin = A - c
+    acc0 = tuple(jnp.full((A,), _SENTINEL) for _ in range(nship))
+
+    gmax = lax.pmax(jnp.max(out_counts), axis_name)
+    num_rounds = (gmax + c - 1) // c
+    j = jnp.arange(c, dtype=jnp.int32)
+
+    def round_body(r, acc):
+        this_count = jnp.clip(out_counts - r * c, 0, c)              # (D,)
+        idx = jnp.clip(out_starts[:, None] + r * c + j[None, :], 0, n_local - 1)
+        valid = j[None, :] < this_count[:, None]
+        send = jnp.stack([jnp.where(valid, jnp.take(p, idx), _SENTINEL)
+                          for p in shipped])                         # (P, D, c)
+        recv = lax.all_to_all(send, axis_name, split_axis=1, concat_axis=1,
+                              tiled=True)
+        new_acc = []
+        for pi in range(nship):
+            a = acc[pi]
+            for s in range(D):
+                off = jnp.where(r < rounds_from[s], acc_start[s] + r * c, dustbin)
+                a = lax.dynamic_update_slice(a, recv[pi, s], (off,))
+            new_acc.append(a)
+        return tuple(new_acc)
+
+    acc = lax.fori_loop(0, num_rounds, round_body, acc0)
+
+    # 5. final local order; sentinel filler sorts to the tail, and exactly
+    # n_local received rows are valid, so the head slice is the shard
+    merged = lax.sort(acc, dimension=0, is_stable=False, num_keys=num_key_planes)
+    return tuple(m[:n_local] for m in merged)
+
+
+def _run_balanced(planes, mesh, axis_name, num_key_planes, strict, chunk):
+    """Pad to D shards, shard_map the balanced body, return static counts."""
+    D = mesh.shape[axis_name]
+    n = int(planes[0].shape[0])
+    if n < 1:
+        raise ValueError("balanced distributed sort needs n >= 1")
+    pad_total = (-n) % D
+    if pad_total:
+        planes = tuple(jnp.concatenate([p, jnp.full((pad_total,), _SENTINEL)])
+                       for p in planes)
+    n_local = (n + pad_total) // D
+    counts = jnp.asarray(np.clip(n - np.arange(D) * n_local, 0, n_local)
+                         .astype(np.int32))
+    overflow = jnp.zeros((D,), jnp.int32)
+
+    if D == 1:
+        out = lax.sort(planes, dimension=0, is_stable=not strict,
+                       num_keys=num_key_planes)
+        return tuple(out), counts, overflow
+
+    if chunk is None:
+        chunk = -(-n_local // D)
+    chunk = max(1, min(int(chunk), n_local))
+
+    body = partial(
+        _balanced_body,
+        axis_name=axis_name,
+        num_devices=D,
+        num_key_planes=num_key_planes,
+        strict=strict,
+        chunk=chunk,
+        n_local=n_local,
+    )
+    nplanes = len(planes)
+    mapped = jax.shard_map(
+        lambda *ps: body(ps),
+        mesh=mesh,
+        in_specs=tuple(P(axis_name) for _ in range(nplanes)),
+        out_specs=tuple(P(axis_name) for _ in range(nplanes)),
+        check_vma=False,
+    )
+    return mapped(*planes), counts, overflow
+
+
+@partial(jax.jit, static_argnames=("mesh", "axis_name", "chunk"))
+def distributed_sort_balanced_u32(
+    x: jax.Array,
+    mesh: Mesh,
+    axis_name: str = "shards",
+    chunk: Optional[int] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Keys-only balanced distributed sort of a u32 array over a 1-D mesh.
+
+    Perfectly load-balanced for ANY input distribution (exact quantile
+    partition with a global-slot tiebreak): every shard holds exactly
+    ceil(n/D) keys of the globally sorted order, transient memory is bounded
+    by D*chunk, and there is no overflow mode. Returns
+    (sorted_padded, counts, overflow) with the same contract as
+    :func:`..shuffle.distributed_sort_u32`; counts are static, overflow is
+    identically zero.
+    """
+    (sp,), counts, overflow = _run_balanced(
+        (x,), mesh, axis_name, num_key_planes=1, strict=False, chunk=chunk)
+    return sp, counts, overflow
+
+
+@partial(jax.jit, static_argnames=("mesh", "axis_name", "chunk"))
+def distributed_argsort_balanced_u32(
+    x: jax.Array,
+    mesh: Mesh,
+    axis_name: str = "shards",
+    chunk: Optional[int] = None,
+):
+    """Balanced distributed stable rank sort (argsort) of a u32 array.
+
+    The global-index plane is the strict tiebreak, so the permutation is
+    exactly the unique stable one (`radix_sort_rank.hpp:97-112` semantics).
+    Returns (sorted_keys_padded, perm_padded, counts, overflow).
+    """
+    n = x.shape[0]
+    idx = jnp.arange(n, dtype=jnp.uint32)
+    (sk, sp), counts, overflow = _run_balanced(
+        (x, idx), mesh, axis_name, num_key_planes=2, strict=True, chunk=chunk)
+    return sk, sp, counts, overflow
+
+
+@partial(jax.jit, static_argnames=("mesh", "axis_name", "chunk"))
+def distributed_sort_pairs_balanced_u32(
+    x: jax.Array,
+    payload: jax.Array,
+    mesh: Mesh,
+    axis_name: str = "shards",
+    chunk: Optional[int] = None,
+):
+    """Balanced distributed stable record sort: u32 keys + one u32 payload plane.
+
+    Returns (sorted_keys_padded, payload_padded, counts, overflow).
+    """
+    n = x.shape[0]
+    idx = jnp.arange(n, dtype=jnp.uint32)
+    (sk, _, pl), counts, overflow = _run_balanced(
+        (x, idx, payload.astype(jnp.uint32)), mesh, axis_name,
+        num_key_planes=2, strict=True, chunk=chunk)
+    return sk, pl, counts, overflow
+
+
+def distributed_sort_balanced(
+    x,
+    mesh: Mesh,
+    axis_name: str = "shards",
+    descending: bool = False,
+    chunk: Optional[int] = None,
+):
+    """Dtype-generic balanced distributed sort: any supported dtype, either order.
+
+    64-bit dtypes partition on BOTH word planes (plus the slot tiebreak), so —
+    unlike the single-collective shuffle, which only sees the high word — a
+    constant high word costs nothing: balance is exact for every distribution.
+    Returns (sorted_padded_values, counts, overflow[=0]).
+    """
+    from ..api import _as_words, _decode
+
+    words, dtype = _as_words(x, descending)
+    out_words, counts, overflow = _run_balanced(
+        tuple(words), mesh, axis_name, num_key_planes=len(words),
+        strict=False, chunk=chunk)
+    vals = _decode(tuple(out_words), dtype, descending)
+    return vals, counts, overflow

@@ -1,0 +1,151 @@
+"""Balanced distributed sort tests: exact-quantile partition, multi-round exchange.
+
+Adversarial distributions that overflow the single-collective shuffle's
+capacity (two-value, all-equal, presorted, heavy skew) must all produce
+perfectly balanced shards here, with zero overflow, on the 8-device mesh.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from radix_sorting_tpu.parallel import (
+    distributed_argsort_balanced_u32,
+    distributed_sort_balanced,
+    distributed_sort_balanced_u32,
+    distributed_sort_pairs_balanced_u32,
+    gather_sorted,
+    make_sort_mesh,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    return make_sort_mesh(8)
+
+
+def _check(x, mesh, **kw):
+    sp, counts, ovf = distributed_sort_balanced_u32(jnp.asarray(x), mesh, **kw)
+    assert int(np.asarray(ovf).sum()) == 0
+    c = np.asarray(counts)
+    n_local = -(-x.shape[0] // 8)
+    # exact balance by construction: every shard full except the padded tail
+    assert np.array_equal(c, np.clip(x.shape[0] - np.arange(8) * n_local, 0, n_local))
+    out = gather_sorted(sp, counts, ovf)
+    assert np.array_equal(out, np.sort(x))
+
+
+def test_balanced_uniform(rng, mesh):
+    _check(rng.integers(0, 1 << 32, size=1 << 16, dtype=np.uint32), mesh)
+
+
+def test_balanced_two_values(rng, mesh):
+    # the distribution that overflows the bucket shuffle's default capacity:
+    # exact quantiles split each value's run across devices by count
+    _check(rng.integers(0, 2, size=1 << 15, dtype=np.uint32), mesh)
+
+
+def test_balanced_all_equal(mesh):
+    _check(np.full(1 << 14, 0xABCD1234, np.uint32), mesh)
+
+
+def test_balanced_heavy_skew(rng, mesh):
+    n = 1 << 15
+    x = np.concatenate([
+        np.full(n // 2, 0x0000BEEF, np.uint32),
+        (rng.integers(0, 1 << 12, size=n // 4, dtype=np.uint32) + 0x10).astype(np.uint32),
+        rng.integers(0, 1 << 32, size=n // 4, dtype=np.uint32),
+    ])
+    rng.shuffle(x)
+    _check(x, mesh)
+
+
+def test_balanced_presorted_and_reverse(mesh):
+    n = 1 << 14
+    _check(np.arange(n, dtype=np.uint32) * 7, mesh)
+    _check((np.arange(n, dtype=np.uint32) * 13)[::-1].copy(), mesh)
+
+
+def test_balanced_ragged_n_with_sentinels(rng, mesh):
+    n = (1 << 14) + 1237
+    x = rng.integers(0, 1 << 32, size=n, dtype=np.uint32)
+    # real maximal keys must survive the sentinel padding logic
+    x[: 300] = 0xFFFFFFFF
+    _check(x, mesh)
+
+
+def test_balanced_small_n(rng, mesh):
+    for n in (8, 9, 64, 200):
+        _check(rng.integers(0, 1 << 32, size=n, dtype=np.uint32), mesh)
+
+
+def test_balanced_chunk_forces_many_rounds(rng, mesh):
+    # tiny chunk => every run ships over many rounds; result must be identical
+    x = rng.integers(0, 4, size=1 << 12, dtype=np.uint32)
+    _check(x, mesh, chunk=37)
+
+
+def test_balanced_argsort_stable(rng, mesh):
+    n = 1 << 14
+    x = rng.integers(0, 100, size=n, dtype=np.uint32)  # heavy ties
+    sk, perm, counts, ovf = distributed_argsort_balanced_u32(jnp.asarray(x), mesh)
+    perm_g = gather_sorted(perm, counts, ovf)
+    assert np.array_equal(perm_g, np.argsort(x, kind="stable").astype(np.uint32))
+    assert np.array_equal(gather_sorted(sk, counts, ovf), np.sort(x))
+
+
+def test_balanced_argsort_all_equal(rng, mesh):
+    # all-equal keys: stable perm is the identity, and balance is still exact
+    n = 1 << 13
+    x = np.full(n, 42, np.uint32)
+    _, perm, counts, ovf = distributed_argsort_balanced_u32(jnp.asarray(x), mesh)
+    assert np.array_equal(gather_sorted(perm, counts, ovf),
+                          np.arange(n, dtype=np.uint32))
+
+
+def test_balanced_pairs(rng, mesh):
+    n = (1 << 13) + 321
+    x = rng.integers(0, 64, size=n, dtype=np.uint32)
+    payload = rng.integers(0, 1 << 32, size=n, dtype=np.uint32)
+    sk, pl, counts, ovf = distributed_sort_pairs_balanced_u32(
+        jnp.asarray(x), jnp.asarray(payload), mesh)
+    order = np.argsort(x, kind="stable")
+    assert np.array_equal(gather_sorted(sk, counts, ovf), x[order])
+    assert np.array_equal(gather_sorted(pl, counts, ovf), payload[order])
+
+
+def test_balanced_generic_dtypes(rng, mesh):
+    n = 1 << 13
+    xf = rng.standard_normal(n).astype(np.float32)
+    vals, counts, ovf = distributed_sort_balanced(jnp.asarray(xf), mesh)
+    out = gather_sorted(jnp.asarray(vals).view(jnp.uint32), counts, ovf).view(np.float32)
+    assert np.array_equal(out, np.sort(xf))
+    # int32 descending
+    xi = rng.integers(-1 << 31, 1 << 31, size=n, dtype=np.int64).astype(np.int32)
+    vals, counts, ovf = distributed_sort_balanced(jnp.asarray(xi), mesh, descending=True)
+    out = gather_sorted(jnp.asarray(vals).view(jnp.uint32), counts, ovf).view(np.int32)
+    assert np.array_equal(out, np.sort(xi)[::-1])
+
+
+def test_balanced_u64_constant_high_word(rng, mesh):
+    # constant high word: the bucket shuffle degrades to one bucket here
+    # (overflow/exact), the balanced path partitions on both planes — exact
+    n = 1 << 13
+    x64 = (np.uint64(0xDEAD << 48)
+           | rng.integers(0, 1 << 32, size=n, dtype=np.uint64))
+    vals, counts, ovf = distributed_sort_balanced(x64, mesh)
+    v = np.asarray(vals, dtype=np.uint64)
+    counts_np = np.asarray(counts)
+    flat = v.reshape(8, -1)
+    out = np.concatenate([flat[d, : counts_np[d]] for d in range(8)])
+    assert np.array_equal(out, np.sort(x64))
+    assert int(np.asarray(ovf).sum()) == 0
+
+
+def test_balanced_single_device(rng):
+    mesh1 = make_sort_mesh(1)
+    x = rng.integers(0, 1 << 32, size=1000, dtype=np.uint32)
+    sp, counts, ovf = distributed_sort_balanced_u32(jnp.asarray(x), mesh1)
+    assert np.array_equal(gather_sorted(sp, counts, ovf), np.sort(x))
