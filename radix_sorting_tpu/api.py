@@ -144,7 +144,10 @@ def _static_live_mask(words, value_mask, dtype, cfg: SortConfig) -> Optional[int
                 return None
         # Signed-int KDF is a positional sign-bit XOR: live positions of the
         # derived key equal the live positions of the raw bits.
-    elif kind in ("u", "i") and bits <= cfg.counting_max_bits:
+    elif kind in ("u", "i", "f") and bits <= cfg.counting_max_bits:
+        # Valid for floats too at *dtype width*: the KDF maps a b-bit float
+        # into b live derived bits (`_float_mangle` masks to the width), so
+        # a 16-bit float's derived word is a dense 16-bit domain.
         mask = (1 << bits) - 1
     if mask is None:
         return None

@@ -150,3 +150,28 @@ def test_counting_sort_u8(rng):
     x = rng.integers(0, 256, size=65_536, dtype=np.uint8)
     out = np.asarray(rst.counting_sort(jnp.asarray(x)))
     assert np.array_equal(out, np.sort(x))
+
+
+def test_counting_sort_16bit_dtypes(rng):
+    # 16-bit domains exceed the regeneration budget (2^16 bins): the counting
+    # engine must route them through the sorter fallback, not hang or OOM
+    xu = rng.integers(0, 1 << 16, size=50_000, dtype=np.uint16)
+    assert np.array_equal(np.asarray(rst.counting_sort(jnp.asarray(xu))), np.sort(xu))
+    xi = rng.integers(-1 << 15, 1 << 15, size=50_000, dtype=np.int16)
+    assert np.array_equal(np.asarray(rst.counting_sort(jnp.asarray(xi))), np.sort(xi))
+
+
+def test_counting_sort_f16(rng):
+    # 16-bit floats are a dense 16-bit derived domain (dtype-width live mask)
+    x = rng.standard_normal(30_000).astype(np.float16)
+    out = np.asarray(rst.counting_sort(jnp.asarray(x)))
+    assert np.array_equal(out.view(np.uint16), np.sort(x).view(np.uint16))
+
+
+def test_sort_f16_counting_strategy(rng):
+    # explicit COUNTING strategy on a float16 key with a raised budget
+    x = rng.standard_normal(20_000).astype(np.float16)
+    cfg = rst.SortConfig(strategy=rst.Strategy.COUNTING, counting_max_bits=16,
+                         detect_presorted=False)
+    out = np.asarray(rst.sort(jnp.asarray(x), config=cfg))
+    assert np.array_equal(out.view(np.uint16), np.sort(x).view(np.uint16))
