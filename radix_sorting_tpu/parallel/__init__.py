@@ -1,9 +1,11 @@
 """Multi-chip / multi-host scale-out: mesh shuffle and distributed reductions."""
 
 from .balanced import (  # noqa: F401
+    distributed_argsort_balanced,
     distributed_argsort_balanced_u32,
     distributed_sort_balanced,
     distributed_sort_balanced_u32,
+    distributed_sort_pairs_balanced,
     distributed_sort_pairs_balanced_u32,
 )
 from .histogram import global_digit_histogram, global_live_bit_mask  # noqa: F401

@@ -58,6 +58,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 __all__ = [
     "distributed_sort_balanced",
+    "distributed_argsort_balanced",
+    "distributed_sort_pairs_balanced",
     "distributed_sort_balanced_u32",
     "distributed_argsort_balanced_u32",
     "distributed_sort_pairs_balanced_u32",
@@ -332,3 +334,115 @@ def distributed_sort_balanced(
         strict=False, chunk=chunk)
     vals = _decode(tuple(out_words), dtype, descending)
     return vals, counts, overflow
+
+
+# ---------------------------------------------------------------------------
+# dtype-generic rank and record sorts
+#
+# Payload planes are *value-preserving* u32 encodings (bitcasts / zero
+# extensions with exact inverses) — unlike key planes they carry no order
+# semantics, they just have to survive the exchange bit-exactly.
+
+
+def _payload_to_words(a) -> Tuple[Tuple[jax.Array, ...], Tuple]:
+    """Encode one payload leaf into u32 planes with an exact inverse."""
+    if isinstance(a, np.ndarray) and a.dtype.itemsize == 8 and not jax.config.jax_enable_x64:
+        u = np.ascontiguousarray(a).view(np.uint64)
+        hi = jnp.asarray((u >> np.uint64(32)).astype(np.uint32))
+        lo = jnp.asarray(u.astype(np.uint32))
+        return (hi, lo), (np.dtype(a.dtype), True)
+    a = jnp.asarray(a)
+    d = jnp.dtype(a.dtype)
+    if d.itemsize == 8:
+        from ..ops.kdf import _split64
+        return _split64(a), (d, True)
+    if d.itemsize == 4:
+        return (lax.bitcast_convert_type(a, jnp.uint32),), (d, False)
+    # 1- and 2-byte leaves (incl. bool and half floats): zero-extend via the
+    # same-width unsigned view
+    if d == jnp.bool_:
+        return (a.astype(jnp.uint32),), (d, False)
+    u = lax.bitcast_convert_type(a, jnp.dtype(f"uint{d.itemsize * 8}"))
+    return (u.astype(jnp.uint32),), (d, False)
+
+
+def _payload_from_words(words, meta):
+    d, is64 = meta
+    if is64:
+        hi, lo = words
+        if isinstance(d, np.dtype) and not jax.config.jax_enable_x64:
+            u = (np.asarray(hi).astype(np.uint64) << np.uint64(32)) \
+                | np.asarray(lo).astype(np.uint64)
+            return u.view(d)
+        from ..ops.kdf import _join64
+        return _join64(hi, lo, d)
+    (w,) = words
+    if d == jnp.bool_:
+        return w.astype(jnp.bool_)
+    if d.itemsize == 4:
+        return lax.bitcast_convert_type(w, d)
+    return lax.bitcast_convert_type(w.astype(jnp.dtype(f"uint{d.itemsize * 8}")), d)
+
+
+def distributed_argsort_balanced(
+    x,
+    mesh: Mesh,
+    axis_name: str = "shards",
+    descending: bool = False,
+    chunk: Optional[int] = None,
+):
+    """Dtype-generic balanced distributed stable rank sort.
+
+    Returns (sorted_values_padded, perm_padded, counts, overflow[=0]); the
+    permutation is exactly the unique stable one for the requested order.
+    """
+    from ..api import _as_words, _decode
+
+    words, dtype = _as_words(x, descending)
+    n = int(words[0].shape[0])
+    idx = jnp.arange(n, dtype=jnp.uint32)
+    out, counts, overflow = _run_balanced(
+        tuple(words) + (idx,), mesh, axis_name,
+        num_key_planes=len(words) + 1, strict=True, chunk=chunk)
+    vals = _decode(tuple(out[: len(words)]), dtype, descending)
+    return vals, out[len(words)], counts, overflow
+
+
+def distributed_sort_pairs_balanced(
+    keys,
+    values,
+    mesh: Mesh,
+    axis_name: str = "shards",
+    descending: bool = False,
+    chunk: Optional[int] = None,
+):
+    """Dtype-generic balanced distributed stable record sort.
+
+    ``values`` is a pytree of 1-D arrays of any fixed-width dtype (64-bit
+    leaves ride as two planes). Returns
+    (sorted_keys_padded, permuted_values_padded, counts, overflow[=0]);
+    padding rows decode from sentinel bits and must be dropped via counts.
+    """
+    from ..api import _as_words, _decode
+
+    words, dtype = _as_words(keys, descending)
+    n = int(words[0].shape[0])
+    idx = jnp.arange(n, dtype=jnp.uint32)
+    leaves, treedef = jax.tree.flatten(values)
+    enc = [_payload_to_words(leaf) for leaf in leaves]
+    payload_planes = tuple(p for planes, _ in enc for p in planes)
+    for p in payload_planes:
+        if p.shape[0] != n:
+            raise ValueError("payload leaves must share the key length")
+    nk = len(words) + 1
+    out, counts, overflow = _run_balanced(
+        tuple(words) + (idx,) + payload_planes, mesh, axis_name,
+        num_key_planes=nk, strict=True, chunk=chunk)
+    sorted_keys = _decode(tuple(out[: len(words)]), dtype, descending)
+    rest = list(out[nk:])
+    dec = []
+    for planes, meta in enc:
+        k = len(planes)
+        dec.append(_payload_from_words(tuple(rest[:k]), meta))
+        rest = rest[k:]
+    return sorted_keys, jax.tree.unflatten(treedef, dec), counts, overflow

@@ -144,6 +144,52 @@ def test_balanced_u64_constant_high_word(rng, mesh):
     assert int(np.asarray(ovf).sum()) == 0
 
 
+def test_balanced_generic_argsort(rng, mesh):
+    from radix_sorting_tpu.parallel import distributed_argsort_balanced
+    n = 1 << 13
+    x = rng.standard_normal(n).astype(np.float32)
+    x[:: 7] = x[0]  # ties
+    vals, perm, counts, ovf = distributed_argsort_balanced(jnp.asarray(x), mesh)
+    perm_g = gather_sorted(perm, counts, ovf)
+    assert np.array_equal(perm_g, np.argsort(x, kind="stable").astype(np.uint32))
+    # descending stable argsort
+    vals, perm, counts, ovf = distributed_argsort_balanced(
+        jnp.asarray(x), mesh, descending=True)
+    perm_g = gather_sorted(perm, counts, ovf)
+    oracle = np.argsort(-x.astype(np.float64), kind="stable")
+    assert np.array_equal(perm_g, oracle.astype(np.uint32))
+
+
+def test_balanced_generic_pairs_pytree(rng, mesh):
+    from radix_sorting_tpu.parallel import distributed_sort_pairs_balanced
+    n = (1 << 12) + 77
+    k = rng.integers(-40, 40, size=n, dtype=np.int32)  # heavy ties, signed
+    payload = {
+        "f": jnp.asarray(rng.standard_normal(n).astype(np.float32)),
+        "small": jnp.asarray(rng.integers(0, 2, size=n).astype(np.bool_)),
+        "half": jnp.asarray(rng.standard_normal(n).astype(np.float16)),
+        "wide": rng.integers(0, 1 << 64, size=n, dtype=np.uint64),
+    }
+    sk, pv, counts, ovf = distributed_sort_pairs_balanced(
+        jnp.asarray(k), payload, mesh)
+    order = np.argsort(k, kind="stable")
+    assert np.array_equal(
+        gather_sorted(jnp.asarray(sk).view(jnp.uint32), counts, ovf).view(np.int32),
+        k[order])
+    got_f = gather_sorted(jnp.asarray(pv["f"]).view(jnp.uint32), counts, ovf).view(np.float32)
+    assert np.array_equal(got_f, np.asarray(payload["f"])[order])
+    got_b = gather_sorted(jnp.asarray(pv["small"]).astype(jnp.uint32), counts, ovf)
+    assert np.array_equal(got_b.astype(bool), np.asarray(payload["small"])[order])
+    got_h = gather_sorted(jnp.asarray(pv["half"]).view(jnp.uint16).astype(jnp.uint32),
+                          counts, ovf).astype(np.uint16)
+    assert np.array_equal(got_h, np.asarray(payload["half"]).view(np.uint16)[order])
+    got_w = np.asarray(pv["wide"], dtype=np.uint64)
+    counts_np = np.asarray(counts)
+    flat = got_w.reshape(8, -1)
+    got_w = np.concatenate([flat[d, : counts_np[d]] for d in range(8)])
+    assert np.array_equal(got_w, payload["wide"][order])
+
+
 def test_balanced_single_device(rng):
     mesh1 = make_sort_mesh(1)
     x = rng.integers(0, 1 << 32, size=1000, dtype=np.uint32)
