@@ -324,19 +324,32 @@ def distributed_sort(
     mesh: Mesh,
     axis_name: str = "shards",
     descending: bool = False,
+    method: str = "balanced",
     **kw,
 ):
     """Dtype-generic distributed sort: any supported key dtype, either order.
 
-    KDF-encodes (with descending complement), runs the u32 shuffle, decodes.
-    64-bit dtypes partition on the high word — correct for any input, but a
-    constant high word routes through the overflow/exact path (the adaptive
-    splitter only sees plane 0); prefer 32-bit keys for maximum balance.
+    KDF-encodes (with descending complement), exchanges, decodes. Two
+    exchange methods:
+
+    * ``"balanced"`` (default): exact-quantile partition + multi-round
+      chunked exchange (:mod:`.balanced`) — perfectly balanced shards for
+      any input distribution, bounded memory, overflow impossible.
+    * ``"shuffle"``: the single-collective top-digit bucket shuffle — lowest
+      latency for benign distributions, but skew can overflow the exchange
+      capacity (detected; retry with ``exact=True``), and 64-bit dtypes
+      partition on the high word only.
 
     Returns (sorted_padded_values, counts, overflow); padding slots decode
     from the sentinel key and must be dropped via counts (use
     :func:`gather_sorted` on the *decoded* array).
     """
+    if method == "balanced":
+        from .balanced import distributed_sort_balanced
+        return distributed_sort_balanced(
+            x, mesh, axis_name, descending=descending, chunk=kw.get("chunk"))
+    if method != "shuffle":
+        raise ValueError(f"unknown method {method!r}; 'balanced' or 'shuffle'")
     from ..api import _as_words, _decode
     words, dtype = _as_words(x, descending)
     if len(words) == 1:

@@ -162,22 +162,24 @@ def test_distributed_sort_pairs(rng, mesh):
     assert np.array_equal(payload_sorted, payload[order])
 
 
-def test_distributed_sort_generic_dtypes(rng, mesh):
+@pytest.mark.parametrize("method", ["balanced", "shuffle"])
+def test_distributed_sort_generic_dtypes(rng, mesh, method):
     from radix_sorting_tpu.parallel import distributed_sort
     n = 1 << 14
     # float32 (KDF order incl. negatives)
     xf = rng.standard_normal(n).astype(np.float32)
-    vals, counts, ovf = distributed_sort(jnp.asarray(xf), mesh)
+    vals, counts, ovf = distributed_sort(jnp.asarray(xf), mesh, method=method)
     out = gather_sorted(jnp.asarray(vals).view(jnp.uint32), counts, ovf).view(np.float32)
     assert np.array_equal(out, np.sort(xf))
     # int32 descending
     xi = rng.integers(-1 << 31, 1 << 31, size=n, dtype=np.int64).astype(np.int32)
-    vals, counts, ovf = distributed_sort(jnp.asarray(xi), mesh, descending=True)
+    vals, counts, ovf = distributed_sort(jnp.asarray(xi), mesh, descending=True,
+                                         method=method)
     out = gather_sorted(jnp.asarray(vals).view(jnp.uint32), counts, ovf).view(np.int32)
     assert np.array_equal(out, np.sort(xi)[::-1])
-    # uint64 (two-plane keys; hi-word partition)
+    # uint64 (two-plane keys)
     x64 = rng.integers(0, 1 << 64, size=n, dtype=np.uint64)
-    vals, counts, ovf = distributed_sort(x64, mesh)
+    vals, counts, ovf = distributed_sort(x64, mesh, method=method)
     v = np.asarray(vals, dtype=np.uint64)
     counts_np = np.asarray(counts)
     D = counts_np.shape[0]
