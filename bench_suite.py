@@ -88,11 +88,32 @@ def main() -> int:
         (w,) = kdf.encode(a)
         return counting_engine.sort_word_counting(w, mask)
 
+    def pairs_sort(a):
+        # stable record sort: key + one u32 payload plane riding the sorter
+        (w,) = kdf.encode(a)
+        (sw,), (p,) = hw_engine.sort_words((w,), (a,))
+        return p
+
+    ROW = 4096
+
+    def batched_sort(a):
+        # independent row sorts (one fused dispatch) — no reference analog
+        (w,) = kdf.encode(a)
+        from jax import lax
+        (s,) = lax.sort((w,), dimension=1, is_stable=False, num_keys=1)
+        return kdf.decode((s,), jnp.uint32)
+
     cases = {
         "radix_sort": (value_sort, lambda n: jnp.asarray(keys[:n])),
         "radix_sort_rank": (rank_sort, lambda n: jnp.asarray(keys[:n])),
+        "radix_sort_pairs": (pairs_sort, lambda n: jnp.asarray(keys[:n])),
         "counting_masked": (masked_sort, lambda n: jnp.asarray(keys[:n] & np.uint32(mask))),
         "jnp_sort_baseline": (jnp.sort, lambda n: jnp.asarray(keys[:n])),
+        "batched_rows_4096": (
+            batched_sort,
+            lambda n: (jnp.asarray(keys[: (n // ROW) * ROW].reshape(-1, ROW))
+                       if n >= ROW else None),
+        ),
     }
 
     rows = []
@@ -102,13 +123,16 @@ def main() -> int:
             reps = 3
         for name, (fn, mk) in cases.items():
             x = mk(n)
+            if x is None:  # case inapplicable at this size (SkipWithError style)
+                continue
+            n_eff = int(np.prod(x.shape))
             ms = _steady_ms(fn, x, reps)
             rows.append({
                 "case": name,
-                "n": n,
+                "n": n_eff,
                 "ms": round(ms, 4),
-                "KeyRate": round(n / (ms / 1e3), 0),
-                "bytes_per_second": round(n * 4 / (ms / 1e3), 0),
+                "KeyRate": round(n_eff / (ms / 1e3), 0),
+                "bytes_per_second": round(n_eff * 4 / (ms / 1e3), 0),
             })
             print(json.dumps(rows[-1]), flush=True)
 

@@ -181,15 +181,24 @@ def sort(x, *, config: SortConfig = DEFAULT_CONFIG, value_mask: Optional[int] = 
     if n <= 1:
         return x if not isinstance(x, np.ndarray) else x.copy()
     if value_mask is not None and validate_mask:
-        raw = jnp.asarray(x).view(jnp.dtype(f"uint{jnp.dtype(x.dtype).itemsize * 8}")) \
-            if not isinstance(x, np.ndarray) else x.view(f"u{x.dtype.itemsize}")
-        stray = int(jnp.bitwise_or.reduce(jnp.asarray(raw).astype(jnp.uint32))
-                    if jnp.dtype(raw.dtype).itemsize <= 4
-                    else 0) & ~int(value_mask)
+        if isinstance(x, np.ndarray):
+            bits_or = int(np.bitwise_or.reduce(
+                np.ascontiguousarray(x).view(f"u{x.dtype.itemsize}")))
+        elif jnp.dtype(x.dtype).itemsize <= 4:
+            raw = jnp.asarray(x).view(jnp.dtype(f"uint{jnp.dtype(x.dtype).itemsize * 8}"))
+            bits_or = int(jnp.bitwise_or.reduce(raw.astype(jnp.uint32)))
+        else:
+            # 64-bit jax arrays (x64 enabled): validate on the raw bits of the
+            # two u32 planes of a fresh bitcast.
+            v = lax.bitcast_convert_type(jnp.asarray(x), jnp.uint32)  # (..., 2)
+            bits_or = (int(jnp.bitwise_or.reduce(v[..., 1].ravel())) << 32) \
+                | int(jnp.bitwise_or.reduce(v[..., 0].ravel()))
+        width_mask = (1 << (jnp.dtype(dtype).itemsize * 8)) - 1
+        stray = bits_or & ~int(value_mask) & width_mask
         if stray:
             raise ValueError(
-                f"value_mask violated: keys carry live bits 0x{stray:08X} "
-                f"outside mask 0x{int(value_mask):08X}"
+                f"value_mask violated: keys carry live bits 0x{stray:X} "
+                f"outside mask 0x{int(value_mask):X}"
             )
 
     strategy = cfg.strategy

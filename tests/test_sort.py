@@ -113,6 +113,20 @@ def test_value_mask_validation(rng):
         rst.sort(jnp.asarray(bad), value_mask=mask, validate_mask=True)
 
 
+def test_value_mask_validation_u64(rng):
+    # 64-bit keys (numpy path, no x64): validation must see both word planes
+    mask = 0x00FF0000_0000FF00
+    good = (rng.integers(0, 1 << 64, size=1000, dtype=np.uint64)
+            & np.uint64(mask)).astype(np.uint64)
+    out = np.asarray(rst.sort(good, value_mask=mask, validate_mask=True),
+                     dtype=np.uint64)
+    assert np.array_equal(out, np.sort(good))
+    bad = good.copy()
+    bad[3] |= np.uint64(1 << 40)  # stray bit in the HIGH word
+    with pytest.raises(ValueError, match="value_mask violated"):
+        rst.sort(bad, value_mask=mask, validate_mask=True)
+
+
 def test_value_mask_descending(rng):
     mask = 0x0000FF00
     x = (rng.integers(0, 1 << 32, size=50_000, dtype=np.uint32) & mask).astype(np.uint32)
