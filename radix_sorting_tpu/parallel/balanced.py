@@ -63,6 +63,7 @@ __all__ = [
     "distributed_sort_balanced_u32",
     "distributed_argsort_balanced_u32",
     "distributed_sort_pairs_balanced_u32",
+    "distributed_select",
 ]
 
 _SENTINEL = np.uint32(0xFFFFFFFF)
@@ -446,3 +447,76 @@ def distributed_sort_pairs_balanced(
         dec.append(_payload_from_words(tuple(rest[:k]), meta))
         rest = rest[k:]
     return sorted_keys, jax.tree.unflatten(treedef, dec), counts, overflow
+
+
+# ---------------------------------------------------------------------------
+# exact distributed order statistics (no full sort)
+
+
+def _select_body(planes, ranks, axis_name, n_local):
+    """Per-shard body: local strict sort, then bitwise selection at ``ranks``."""
+    my_dev = lax.axis_index(axis_name)
+    gslot = (my_dev.astype(jnp.uint32) * np.uint32(n_local)
+             + lax.broadcasted_iota(jnp.uint32, (n_local,), 0))
+    part = lax.sort(tuple(planes) + (gslot,), dimension=0, is_stable=False,
+                    num_keys=len(planes) + 1)
+    piv = _select_pivots(part, ranks, axis_name, n_local)
+    # drop the gslot plane; the key planes ARE the value at each rank.
+    # The search consumed only psum'd quantities, so the result is identical
+    # on every shard — returned replicated (out_specs P()).
+    return tuple(piv[: len(planes)])
+
+
+def distributed_select(x, ranks, mesh: Mesh, axis_name: str = "shards",
+                       descending: bool = False):
+    """Exact order statistics of a mesh-sharded array — without a full sort.
+
+    Returns the values at the given global ``ranks`` (0-based positions of the
+    stably sorted sequence in the requested order), replicated on every
+    device. Cost is O(key_bits) scalar-latency collectives (one small psum per
+    bit of the strict composite) plus ONE local sort of each shard — no
+    exchange, no data movement. The exact-selection machinery is the same
+    bitwise distributed k-th-smallest search the balanced partition uses; this
+    entry point exposes it directly (medians, percentiles, top-rank cutoffs
+    over pod-sized arrays).
+
+    Args:
+      x: (n,) array of any supported key dtype.
+      ranks: static sequence of ints in [0, n).
+      descending: rank 0 = largest when True.
+
+    Returns:
+      (len(ranks),) array of x's dtype.
+    """
+    from ..api import _as_words, _decode
+
+    ranks = [int(r) for r in ranks]
+    D = mesh.shape[axis_name]
+    words, dtype = _as_words(x, descending)
+    n = int(words[0].shape[0])
+    if not ranks:
+        raise ValueError("ranks must be non-empty")
+    if not all(0 <= r < n for r in ranks):
+        raise ValueError(f"ranks must be in [0, {n})")
+    pad_total = (-n) % D
+    planes = tuple(jnp.concatenate([w, jnp.full((pad_total,), _SENTINEL)])
+                   for w in words) if pad_total else tuple(words)
+    n_local = (n + pad_total) // D
+    targets = jnp.asarray(ranks, dtype=jnp.int32)
+
+    if D == 1:
+        s = lax.sort(planes, dimension=0, is_stable=False, num_keys=len(planes))
+        sel = tuple(p[targets] for p in s)
+        return _decode(sel, dtype, descending)
+
+    body = partial(_select_body, ranks=targets, axis_name=axis_name,
+                   n_local=n_local)
+    mapped = jax.shard_map(
+        lambda *ps: body(ps),
+        mesh=mesh,
+        in_specs=tuple(P(axis_name) for _ in planes),
+        out_specs=tuple(P() for _ in planes),  # replicated selection result
+        check_vma=False,
+    )
+    sel = mapped(*planes)
+    return _decode(tuple(sel), dtype, descending)

@@ -195,3 +195,55 @@ def test_balanced_single_device(rng):
     x = rng.integers(0, 1 << 32, size=1000, dtype=np.uint32)
     sp, counts, ovf = distributed_sort_balanced_u32(jnp.asarray(x), mesh1)
     assert np.array_equal(gather_sorted(sp, counts, ovf), np.sort(x))
+
+
+# ---------------------------------------------------------------------------
+# distributed_select: exact order statistics without a full sort
+
+
+def test_distributed_select_u32(rng, mesh):
+    from radix_sorting_tpu.parallel import distributed_select
+    n = (1 << 14) + 333
+    x = rng.integers(0, 1 << 32, size=n, dtype=np.uint32)
+    ranks = [0, 1, n // 4, n // 2, n - 2, n - 1]
+    got = np.asarray(distributed_select(jnp.asarray(x), ranks, mesh))
+    assert np.array_equal(got, np.sort(x)[ranks])
+
+
+def test_distributed_select_skewed_floats(rng, mesh):
+    from radix_sorting_tpu.parallel import distributed_select
+    n = 1 << 13
+    x = rng.standard_normal(n).astype(np.float32)
+    x[: n // 2] = -1.5  # heavy duplicate mass around a quantile
+    ranks = [0, n // 2 - 1, n // 2, n // 2 + 1, n - 1]
+    got = np.asarray(distributed_select(jnp.asarray(x), ranks, mesh))
+    assert np.array_equal(got, np.sort(x)[ranks])
+    # descending: rank 0 is the max
+    got = np.asarray(distributed_select(jnp.asarray(x), [0, 1, n - 1], mesh,
+                                        descending=True))
+    s = np.sort(x)[::-1]
+    assert np.array_equal(got, s[[0, 1, n - 1]])
+
+
+def test_distributed_select_u64_and_all_equal(rng, mesh):
+    from radix_sorting_tpu.parallel import distributed_select
+    n = 1 << 12
+    x64 = rng.integers(0, 1 << 64, size=n, dtype=np.uint64)
+    got = np.asarray(distributed_select(x64, [7, n // 2], mesh), dtype=np.uint64)
+    assert np.array_equal(got, np.sort(x64)[[7, n // 2]])
+    eq = np.full(n, 0xDECAF, np.uint32)
+    got = np.asarray(distributed_select(jnp.asarray(eq), [0, n - 1], mesh))
+    assert np.array_equal(got, [0xDECAF, 0xDECAF])
+
+
+def test_distributed_select_bounds(rng, mesh):
+    from radix_sorting_tpu.parallel import distributed_select
+    x = jnp.arange(100, dtype=jnp.uint32)
+    with pytest.raises(ValueError):
+        distributed_select(x, [100], mesh)
+    with pytest.raises(ValueError):
+        distributed_select(x, [], mesh)
+    # single-device path
+    mesh1 = make_sort_mesh(1)
+    got = np.asarray(distributed_select(x, [0, 50, 99], mesh1))
+    assert np.array_equal(got, [0, 50, 99])
