@@ -260,10 +260,14 @@ def argsort(x, *, config: SortConfig = DEFAULT_CONFIG, index_dtype=jnp.uint32):
             skip_trivial=cfg.skip_trivial_digits,
         )
         return perm
+    # The index rides as the LAST SORT KEY: (key, index) is strict, so the
+    # unstable sorter yields exactly the stable permutation, measurably
+    # faster than carrying the index as payload (see hw_engine.argsort_words).
+    # The presorted predicate is unchanged by the appended increasing index.
     if cfg.detect_presorted:
-        _, (perm,) = hw_engine.sort_words_presort_guard(words, (iota,))
-    else:
-        _, (perm,) = hw_engine.sort_words(words, (iota,))
+        sw, _ = hw_engine.sort_words_presort_guard(words + (iota,), stable=False)
+        return sw[-1]
+    _, perm = hw_engine.argsort_words(words, index_dtype=index_dtype)
     return perm
 
 
@@ -396,8 +400,9 @@ def argsort_batched(x, *, axis: int = -1, config: SortConfig = DEFAULT_CONFIG,
     words, _ = _as_words(xm, config.descending, allow_nd=True)
     dim = words[0].ndim - 1
     iota = lax.broadcasted_iota(index_dtype, words[0].shape, dim)
-    out = lax.sort(tuple(words) + (iota,), dimension=dim, is_stable=True,
-                   num_keys=len(words))
+    # index as last sort key: strict order, unstable sorter, stable result
+    out = lax.sort(tuple(words) + (iota,), dimension=dim, is_stable=False,
+                   num_keys=len(words) + 1)
     return _restore_axis(out[-1], axis)
 
 

@@ -41,8 +41,7 @@ def lexsort(keys: Sequence, *, config: SortConfig = DEFAULT_CONFIG) -> jax.Array
         elif int(w[0].shape[0]) != n:
             raise ValueError("lexsort keys must share a common length")
         words.extend(w)
-    iota = jnp.arange(n, dtype=jnp.uint32)
-    _, (perm,) = hw_engine.sort_words(tuple(words), (iota,))
+    _, perm = hw_engine.argsort_words(tuple(words))
     return perm
 
 
@@ -106,9 +105,8 @@ def segmented_argsort(keys, segment_ids, *, config: SortConfig = DEFAULT_CONFIG,
     key_words, _ = _as_words(keys, config.descending)
     if seg_words[0].shape != key_words[0].shape:
         raise ValueError("segment_ids must match the keys' length")
-    n = int(key_words[0].shape[0])
-    iota = jnp.arange(n, dtype=index_dtype)
-    _, (perm,) = hw_engine.sort_words(tuple(seg_words) + tuple(key_words), (iota,))
+    _, perm = hw_engine.argsort_words(tuple(seg_words) + tuple(key_words),
+                                      index_dtype=index_dtype)
     return perm
 
 
@@ -127,7 +125,6 @@ def top_k(x, k: int, *, largest: bool = True, index_dtype=jnp.uint32):
     n = int(words[0].shape[0])
     if not 0 < k <= n:
         raise ValueError(f"k must be in [1, {n}], got {k}")
-    iota = jnp.arange(n, dtype=index_dtype)
-    sw, (perm,) = hw_engine.sort_words(tuple(words), (iota,))
+    sw, perm = hw_engine.argsort_words(tuple(words), index_dtype=index_dtype)
     top_words = tuple(w[:k] for w in sw)
     return _decode(top_words, dtype, largest), perm[:k]

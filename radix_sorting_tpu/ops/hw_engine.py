@@ -57,17 +57,24 @@ def sort_words(
     return tuple(out[: len(words)]), tuple(out[len(words):])
 
 
-def argsort_words(words: Sequence[jax.Array]) -> Tuple[Tuple[jax.Array, ...], jax.Array]:
-    """Stable argsort: returns (sorted_words, permutation) with u32 indices.
+def argsort_words(words: Sequence[jax.Array],
+                  index_dtype=jnp.uint32) -> Tuple[Tuple[jax.Array, ...], jax.Array]:
+    """Stable argsort: returns (sorted_words, permutation).
 
     The permutation is the unique stable rank order — identical to the
     reference rank sort's output (`radix_sort_rank.hpp:22-92`), whose
     stability makes the result well-defined independent of algorithm.
+
+    Implementation: the index rides as the LAST SORT KEY, not as payload —
+    (key, index) is a strict total order, so the *unstable* sorter yields
+    exactly the stable permutation, and it is measurably faster here
+    (40M u32 rank: 211 -> 279 Mkeys/s) since the index is compared anyway.
     """
     n = words[0].shape[0]
-    iota = jnp.arange(n, dtype=jnp.uint32)
-    sorted_words, (perm,) = sort_words(words, (iota,))
-    return sorted_words, perm
+    iota = jnp.arange(n, dtype=index_dtype)
+    out = lax.sort(tuple(words) + (iota,), dimension=0, is_stable=False,
+                   num_keys=len(words) + 1)
+    return tuple(out[:-1]), out[-1]
 
 
 def sort_words_presort_guard(
