@@ -59,9 +59,7 @@ def _as_words(x, descending: bool, allow_nd: bool = False) -> Tuple[Tuple[jax.Ar
     splitting into hi/lo planes host-side.
     """
     if isinstance(x, np.ndarray) and x.dtype.itemsize == 8 and not jax.config.jax_enable_x64:
-        u = np.ascontiguousarray(x).view(np.uint64)
-        hi = jnp.asarray((u >> np.uint64(32)).astype(np.uint32))
-        lo = jnp.asarray(u.astype(np.uint32))
+        hi, lo = kdf.split64_np(x)
         # Apply the 64-bit KDF rules on the planes (see ops/kdf.py).
         kind = np.dtype(x.dtype).kind
         if kind == "i":
@@ -95,7 +93,7 @@ def _decode(words, dtype, descending: bool):
             hi_np = np.where(nonneg == 1, hi_np ^ np.uint64(0x80000000),
                              ~hi_np & np.uint64(0xFFFFFFFF))
             lo_np = lo_np ^ ext
-        return ((hi_np << np.uint64(32)) | lo_np).view(dtype)
+        return kdf.join64_np(hi_np, lo_np, dtype)
     return kdf.decode(words, dtype, descending=descending)
 
 

@@ -100,6 +100,14 @@ def sort_word_counting(w: jax.Array, live_mask: int, descending: bool = False) -
     live_mask = int(live_mask)
     nbits = bin(live_mask).count("1")
     bins = 1 << nbits
+    if bins > _REGEN_MAX_BINS:
+        # Past the regeneration budget the fallback is the sorter anyway;
+        # sort the raw word directly — dead bits are constant under the mask
+        # promise, so raw order == compacted order, and we skip the PEXT
+        # compaction and PDEP expansion passes entirely. Keys-only: a
+        # descending result is the ascending result reversed.
+        (s,) = lax.sort((w,), dimension=0, is_stable=False, num_keys=1)
+        return s[::-1] if descending else s
     c = probes.compact_live_bits(w, live_mask)
     if descending:
         c = np.uint32(bins - 1) - c

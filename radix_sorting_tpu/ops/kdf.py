@@ -44,6 +44,8 @@ __all__ = [
     "num_words",
     "key_bits",
     "complement",
+    "split64_np",
+    "join64_np",
     "SUPPORTED_DTYPES",
 ]
 
@@ -86,6 +88,24 @@ def key_bits(dtype) -> int:
 def num_words(dtype) -> int:
     """Number of uint32 planes the encoded key occupies (1 for <=32-bit, 2 for 64-bit)."""
     return 2 if key_bits(dtype) == 64 else 1
+
+
+def split64_np(x: np.ndarray) -> Tuple[jax.Array, jax.Array]:
+    """Raw (hi, lo) u32 device planes of a 64-bit numpy array, no x64 needed.
+
+    Pure bit split (no KDF transform); inverse is :func:`join64_np`.
+    """
+    u = np.ascontiguousarray(x).view(np.uint64)
+    hi = jnp.asarray((u >> np.uint64(32)).astype(np.uint32))
+    lo = jnp.asarray(u.astype(np.uint32))
+    return hi, lo
+
+
+def join64_np(hi, lo, dtype) -> np.ndarray:
+    """Host-side inverse of :func:`split64_np`: 64-bit numpy array of ``dtype``."""
+    u = (np.asarray(hi).astype(np.uint64) << np.uint64(32)) \
+        | np.asarray(lo).astype(np.uint64)
+    return u.view(np.dtype(dtype))
 
 
 def _split64(x: jax.Array) -> Tuple[jax.Array, jax.Array]:

@@ -35,6 +35,7 @@ import numpy as np
 
 __all__ = [
     "is_sorted_words",
+    "word_lt",
     "live_bit_mask",
     "live_digit_mask",
     "compact_live_bits",
@@ -42,8 +43,8 @@ __all__ = [
 ]
 
 
-def _word_lt(a: Sequence[jax.Array], b: Sequence[jax.Array]):
-    """Lexicographic a < b over word tuples (most significant first)."""
+def word_lt(a: Sequence[jax.Array], b: Sequence[jax.Array]):
+    """Elementwise lexicographic a < b over word tuples (most significant first)."""
     lt = None
     eq = None
     for wa, wb in zip(a, b):
@@ -69,7 +70,7 @@ def is_sorted_words(words: Sequence[jax.Array]) -> jax.Array:
     heads = tuple(w[:-1] for w in words)
     tails = tuple(w[1:] for w in words)
     # sorted iff no adjacent pair has head > tail  <=>  all(not (tail < head))
-    return ~jnp.any(_word_lt(tails, heads))
+    return ~jnp.any(word_lt(tails, heads))
 
 
 def live_bit_mask(words: Sequence[jax.Array]) -> Tuple[jax.Array, ...]:

@@ -48,7 +48,7 @@ identically zero.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -66,15 +66,9 @@ __all__ = [
     "distributed_select",
 ]
 
+from ..ops.probes import word_lt
+
 _SENTINEL = np.uint32(0xFFFFFFFF)
-
-
-def _lex_less(a: Sequence[jax.Array], b: Sequence[jax.Array]) -> jax.Array:
-    """Elementwise lexicographic a < b over matching tuples of u32 planes."""
-    out = a[-1] < b[-1]
-    for ai, bi in zip(reversed(a[:-1]), reversed(b[:-1])):
-        out = (ai < bi) | ((ai == bi) & out)
-    return out
 
 
 def _lower_bound(sorted_planes, piv_planes, n_local: int) -> jax.Array:
@@ -92,7 +86,7 @@ def _lower_bound(sorted_planes, piv_planes, n_local: int) -> jax.Array:
         lo, hi = state
         mid = (lo + hi) // 2
         elem = tuple(jnp.take(p, jnp.clip(mid, 0, n_local - 1)) for p in sorted_planes)
-        less = _lex_less(elem, piv_planes)  # element < pivot -> answer right of mid
+        less = word_lt(elem, piv_planes)  # element < pivot -> answer right of mid
         active = lo < hi
         lo2 = jnp.where(active & less, mid + 1, lo)
         hi2 = jnp.where(active & ~less, mid, hi)
@@ -207,12 +201,25 @@ def _balanced_body(planes, axis_name, num_devices, num_key_planes, strict,
     return tuple(m[:n_local] for m in merged)
 
 
+def _check_selection_width(n_padded: int) -> None:
+    """The selection machinery counts ranks in int32 (x64 is off by default):
+    targets, psum'd counts, and the u32 slot plane all require n < 2^31.
+    Fail loudly instead of wrapping silently at pod-extreme sizes."""
+    if n_padded >= 1 << 31:
+        raise ValueError(
+            f"balanced partition supports n < 2^31 keys (got {n_padded}); "
+            "rank arithmetic is int32 — shard the problem or use the "
+            "bucket-shuffle path for larger arrays"
+        )
+
+
 def _run_balanced(planes, mesh, axis_name, num_key_planes, strict, chunk):
     """Pad to D shards, shard_map the balanced body, return static counts."""
     D = mesh.shape[axis_name]
     n = int(planes[0].shape[0])
     if n < 1:
         raise ValueError("balanced distributed sort needs n >= 1")
+    _check_selection_width(n + (-n) % D)
     pad_total = (-n) % D
     if pad_total:
         planes = tuple(jnp.concatenate([p, jnp.full((pad_total,), _SENTINEL)])
@@ -223,7 +230,9 @@ def _run_balanced(planes, mesh, axis_name, num_key_planes, strict, chunk):
     overflow = jnp.zeros((D,), jnp.int32)
 
     if D == 1:
-        out = lax.sort(planes, dimension=0, is_stable=not strict,
+        # unstable in both modes: strict key sets are total orders, and
+        # keys-only stability is vacuous (CLAUDE.md invariant)
+        out = lax.sort(planes, dimension=0, is_stable=False,
                        num_keys=num_key_planes)
         return tuple(out), counts, overflow
 
@@ -348,10 +357,8 @@ def distributed_sort_balanced(
 def _payload_to_words(a) -> Tuple[Tuple[jax.Array, ...], Tuple]:
     """Encode one payload leaf into u32 planes with an exact inverse."""
     if isinstance(a, np.ndarray) and a.dtype.itemsize == 8 and not jax.config.jax_enable_x64:
-        u = np.ascontiguousarray(a).view(np.uint64)
-        hi = jnp.asarray((u >> np.uint64(32)).astype(np.uint32))
-        lo = jnp.asarray(u.astype(np.uint32))
-        return (hi, lo), (np.dtype(a.dtype), True)
+        from ..ops.kdf import split64_np
+        return split64_np(a), (np.dtype(a.dtype), True)
     a = jnp.asarray(a)
     d = jnp.dtype(a.dtype)
     if d.itemsize == 8:
@@ -372,9 +379,8 @@ def _payload_from_words(words, meta):
     if is64:
         hi, lo = words
         if isinstance(d, np.dtype) and not jax.config.jax_enable_x64:
-            u = (np.asarray(hi).astype(np.uint64) << np.uint64(32)) \
-                | np.asarray(lo).astype(np.uint64)
-            return u.view(d)
+            from ..ops.kdf import join64_np
+            return join64_np(hi, lo, d)
         from ..ops.kdf import _join64
         return _join64(hi, lo, d)
     (w,) = words
@@ -498,6 +504,7 @@ def distributed_select(x, ranks, mesh: Mesh, axis_name: str = "shards",
         raise ValueError("ranks must be non-empty")
     if not all(0 <= r < n for r in ranks):
         raise ValueError(f"ranks must be in [0, {n})")
+    _check_selection_width(n + (-n) % D)
     pad_total = (-n) % D
     planes = tuple(jnp.concatenate([w, jnp.full((pad_total,), _SENTINEL)])
                    for w in words) if pad_total else tuple(words)

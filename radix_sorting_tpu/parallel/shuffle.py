@@ -344,12 +344,20 @@ def distributed_sort(
     from the sentinel key and must be dropped via counts (use
     :func:`gather_sorted` on the *decoded* array).
     """
+    _ALLOWED = {"balanced": {"chunk"}, "shuffle": {"splitter_bits", "slack", "exact"}}
+    if method not in _ALLOWED:
+        raise ValueError(f"unknown method {method!r}; 'balanced' or 'shuffle'")
+    stray = set(kw) - _ALLOWED[method]
+    if stray:
+        raise TypeError(
+            f"method={method!r} does not accept {sorted(stray)}; "
+            f"valid options: {sorted(_ALLOWED[method])} "
+            "(the balanced partition needs no exact/slack escape hatches)"
+        )
     if method == "balanced":
         from .balanced import distributed_sort_balanced
         return distributed_sort_balanced(
             x, mesh, axis_name, descending=descending, chunk=kw.get("chunk"))
-    if method != "shuffle":
-        raise ValueError(f"unknown method {method!r}; 'balanced' or 'shuffle'")
     from ..api import _as_words, _decode
     words, dtype = _as_words(x, descending)
     if len(words) == 1:

@@ -162,6 +162,18 @@ def test_distributed_sort_pairs(rng, mesh):
     assert np.array_equal(payload_sorted, payload[order])
 
 
+def test_distributed_sort_rejects_stray_kwargs(rng, mesh):
+    from radix_sorting_tpu.parallel import distributed_sort
+    x = jnp.asarray(rng.integers(0, 1 << 32, size=1 << 10, dtype=np.uint32))
+    # shuffle-only knobs must not be silently dropped by the balanced default
+    with pytest.raises(TypeError, match="does not accept"):
+        distributed_sort(x, mesh, exact=True)
+    with pytest.raises(TypeError, match="does not accept"):
+        distributed_sort(x, mesh, method="shuffle", chunk=64)
+    with pytest.raises(ValueError, match="unknown method"):
+        distributed_sort(x, mesh, method="bogus")
+
+
 @pytest.mark.parametrize("method", ["balanced", "shuffle"])
 def test_distributed_sort_generic_dtypes(rng, mesh, method):
     from radix_sorting_tpu.parallel import distributed_sort
