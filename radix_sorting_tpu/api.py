@@ -115,23 +115,21 @@ def _flatten_payload(values):
     return tuple(out), treedef
 
 
-def _static_live_mask(words, value_mask, dtype, cfg: SortConfig) -> Optional[int]:
-    """Static live-bit mask for the COUNTING path, or None if inapplicable.
+def _static_live_mask(words, value_mask, dtype, cfg: SortConfig) -> Optional[Tuple[int, ...]]:
+    """Static per-plane live-bit masks for the COUNTING path, or None.
 
     Static knowledge comes from (a) the dtype's width for narrow integer keys
     — the `counting_sort_8.c` domain — or (b) an explicit ``value_mask``
     (the reference CLI's skip-forcing hex mask, `radix_experiment.cpp:188-198`;
-    keys must already be masked by the caller, as the reference does).
+    keys must already be masked by the caller, as the reference does). The
+    reference's mask knob covers every key width, so 64-bit keys participate
+    too: their masks split into (hi, lo) plane masks.
     """
-    if len(words) != 1:
-        return None
     bits = jnp.dtype(dtype).itemsize * 8 if not isinstance(dtype, np.dtype) else dtype.itemsize * 8
     kind = jnp.dtype(dtype).kind
     mask = None
     if value_mask is not None:
-        mask = int(value_mask) & 0xFFFFFFFF
-        if bits < 32:
-            mask &= (1 << bits) - 1
+        mask = int(value_mask) & ((1 << bits) - 1)
         if kind == "f":
             # The float KDF inverts *all* bits of negative keys
             # (`radix_sort_basic_kdf.hpp:32-38`), so a mask admitting negative
@@ -149,9 +147,11 @@ def _static_live_mask(words, value_mask, dtype, cfg: SortConfig) -> Optional[int
         mask = (1 << bits) - 1
     if mask is None:
         return None
-    if bin(mask).count("1") > cfg.counting_max_bits:
+    if bin(mask).count("1") > min(cfg.counting_max_bits, 32):
         return None
-    return mask
+    if len(words) == 2:
+        return (mask >> 32, mask & 0xFFFFFFFF)
+    return (mask,)
 
 
 # ---------------------------------------------------------------------------
@@ -219,10 +219,9 @@ def sort(x, *, config: SortConfig = DEFAULT_CONFIG, value_mask: Optional[int] = 
     if strategy == Strategy.COUNTING:
         # The descending complement is a positional bit-flip, so the live-bit
         # *positions* are unchanged; the counting engine sorts the (possibly
-        # complemented) word ascending and decode() restores order and values.
-        (w,) = words
-        sorted_w = counting_engine.sort_word_counting(w, mask)
-        return _decode((sorted_w,), dtype, cfg.descending)
+        # complemented) words ascending and decode() restores order and values.
+        sorted_words = counting_engine.sort_words_counting(words, mask)
+        return _decode(sorted_words, dtype, cfg.descending)
 
     if strategy == Strategy.LSD:
         sw, _ = lsd_engine.sort_words_lsd(

@@ -42,7 +42,7 @@ from jax import lax
 from . import probes
 from .histogram import digit_histogram
 
-__all__ = ["counting_sort_compact", "sort_word_counting"]
+__all__ = ["counting_sort_compact", "sort_word_counting", "sort_words_counting"]
 
 
 # Regeneration is O(bins) compares per output element, so it loses to the
@@ -97,24 +97,58 @@ def sort_word_counting(w: jax.Array, live_mask: int, descending: bool = False) -
     set bits determines the bin count; callers enforce the budget
     (``SortConfig.counting_max_bits``).
     """
-    live_mask = int(live_mask)
-    nbits = bin(live_mask).count("1")
+    (out,) = sort_words_counting((w,), (int(live_mask),), descending=descending)
+    return out
+
+
+def sort_words_counting(words, masks, descending: bool = False):
+    """Keys-only counting sort of multi-word derived keys with static live masks.
+
+    The multi-plane generalization: live bits of every plane are PEXT-compacted
+    into ONE dense u32 word (most-significant plane highest — order preserved),
+    counting-sorted by regeneration, then PDEP-expanded back per plane. This is
+    what makes the column-skip fast path reach 64-bit keys: a u64 with <=
+    ``counting_max_bits`` live bits sorts at histogram speed regardless of
+    where in the 64 bit positions those bits sit (the reference's mask
+    experiment covers all key widths, `radix_experiment.cpp:188-198`).
+
+    ``sum(popcount(m) for m in masks)`` must be <= 32; past the regeneration
+    budget the raw-word sorter fallback applies (dead bits are constant under
+    the mask promise, so raw order == compacted order).
+    """
+    words = tuple(words)
+    masks = tuple(int(m) for m in masks)
+    nbits = sum(bin(m).count("1") for m in masks)
+    assert nbits <= 32, "compacted live bits must fit one u32 word"
     bins = 1 << nbits
     if bins > _REGEN_MAX_BINS:
-        # Past the regeneration budget the fallback is the sorter anyway;
-        # sort the raw word directly — dead bits are constant under the mask
-        # promise, so raw order == compacted order, and we skip the PEXT
-        # compaction and PDEP expansion passes entirely. Keys-only: a
-        # descending result is the ascending result reversed.
-        (s,) = lax.sort((w,), dimension=0, is_stable=False, num_keys=1)
-        return s[::-1] if descending else s
-    c = probes.compact_live_bits(w, live_mask)
+        # Sorter fallback: sort the raw planes directly — skips PEXT/PDEP.
+        # Keys-only: a descending result is the ascending result reversed.
+        out = lax.sort(words, dimension=0, is_stable=False, num_keys=len(words))
+        return tuple(o[::-1] for o in out) if descending else tuple(out)
+
+    # merge plane compactions LSW-first so the MSW plane takes the high bits
+    merged = jnp.zeros_like(words[0])
+    shift = 0
+    for w, m in zip(reversed(words), reversed(masks)):
+        if m:
+            merged = merged | (probes.compact_live_bits(w, m) << np.uint32(shift))
+            shift += bin(m).count("1")
+    c = merged
     if descending:
         c = np.uint32(bins - 1) - c
     s = counting_sort_compact(c, bins)
     if descending:
         s = np.uint32(bins - 1) - s
-    out = probes.expand_live_bits(s, live_mask)
-    # Restore the constant (dead) bits, identical across all keys.
-    dead = w[0] & np.uint32(~live_mask & 0xFFFFFFFF)
-    return out | dead
+
+    out = []
+    shift = nbits
+    for w, m in zip(words, masks):
+        nb = bin(m).count("1")
+        shift -= nb
+        plane = probes.expand_live_bits((s >> np.uint32(shift)) & np.uint32((1 << nb) - 1), m) \
+            if m else jnp.zeros_like(s)
+        # Restore the constant (dead) bits, identical across all keys.
+        dead = w[0] & np.uint32(~m & 0xFFFFFFFF)
+        out.append(plane | dead)
+    return tuple(out)

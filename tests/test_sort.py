@@ -127,6 +127,48 @@ def test_value_mask_validation_u64(rng):
         rst.sort(bad, value_mask=mask, validate_mask=True)
 
 
+def test_value_mask_counting_u64(rng):
+    # 64-bit masked keys hit the counting path: live bits span BOTH planes
+    mask = 0x0000_00F0_F000_0000
+    x = (rng.integers(0, 1 << 64, size=60_000, dtype=np.uint64)
+         & np.uint64(mask)).astype(np.uint64)
+    out = np.asarray(
+        rst.sort(x, value_mask=mask,
+                 config=rst.SortConfig(strategy=rst.Strategy.COUNTING)),
+        dtype=np.uint64)
+    assert np.array_equal(out, np.sort(x))
+    # AUTO picks counting too and agrees
+    out2 = np.asarray(rst.sort(x, value_mask=mask), dtype=np.uint64)
+    assert np.array_equal(out2, np.sort(x))
+
+
+def test_value_mask_counting_i64_descending(rng):
+    mask = 0x8000_0000_0000_FF00  # sign bit live: positional for ints
+    x = (rng.integers(0, 1 << 64, size=30_000, dtype=np.uint64)
+         & np.uint64(mask)).view(np.int64)
+    cfg = rst.SortConfig(descending=True)
+    out = np.asarray(rst.sort(x, config=cfg, value_mask=mask), dtype=np.int64)
+    assert np.array_equal(out, np.sort(x)[::-1])
+
+
+def test_value_mask_f64_negative_mask_falls_back(rng):
+    # f64 mask admitting negatives cannot keep a positional live mask:
+    # explicit COUNTING must raise, AUTO must still sort correctly via HW
+    mask = 0x8000_0000_0000_FF00
+    x = (rng.integers(0, 1 << 64, size=10_000, dtype=np.uint64)
+         & np.uint64(mask)).view(np.float64)
+    with pytest.raises(ValueError):
+        rst.sort(x, config=rst.SortConfig(strategy=rst.Strategy.COUNTING),
+                 value_mask=mask)
+    out = np.asarray(rst.sort(x, value_mask=mask), dtype=np.float64)
+    # oracle in the KDF total order (-0.0 sorts strictly before +0.0, which
+    # numpy's comparison sort does not guarantee bitwise)
+    b = x.view(np.uint64)
+    key = np.where(b >> np.uint64(63) == 1, ~b, b | np.uint64(1 << 63))
+    oracle = x[np.argsort(key, kind="stable")]
+    assert np.array_equal(out.view(np.uint64), oracle.view(np.uint64))
+
+
 def test_value_mask_descending(rng):
     mask = 0x0000FF00
     x = (rng.integers(0, 1 << 32, size=50_000, dtype=np.uint32) & mask).astype(np.uint32)
