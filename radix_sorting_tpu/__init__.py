@@ -25,7 +25,14 @@ from .api import (
     sort_u64_multipass,
 )
 from .config import DEFAULT_CONFIG, SortConfig, Strategy
-from .extras import lexsort, segmented_argsort, segmented_sort, top_k, unique_sorted
+from .extras import (
+    lexsort,
+    merge_sorted,
+    segmented_argsort,
+    segmented_sort,
+    top_k,
+    unique_sorted,
+)
 from .ops.bitmap import bitmap_unique_sort
 
 __version__ = "0.1.0"
@@ -42,6 +49,7 @@ __all__ = [
     "sort_pairs_batched",
     "bitmap_unique_sort",
     "lexsort",
+    "merge_sorted",
     "unique_sorted",
     "segmented_sort",
     "segmented_argsort",

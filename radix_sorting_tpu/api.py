@@ -247,6 +247,10 @@ def argsort(x, *, config: SortConfig = DEFAULT_CONFIG, index_dtype=jnp.uint32):
     cfg = config
     words, _ = _as_words(x, cfg.descending)
     n = int(words[0].shape[0])
+    if n - 1 > int(jnp.iinfo(index_dtype).max):
+        raise ValueError(
+            f"index_dtype {jnp.dtype(index_dtype).name} cannot index {n} keys"
+        )
     iota = jnp.arange(n, dtype=index_dtype)
     if n <= 1:
         return iota

@@ -19,7 +19,7 @@ from .config import DEFAULT_CONFIG, SortConfig
 from .ops import hw_engine
 
 __all__ = ["lexsort", "unique_sorted", "segmented_sort", "segmented_argsort",
-           "top_k"]
+           "top_k", "merge_sorted"]
 
 
 def lexsort(keys: Sequence, *, config: SortConfig = DEFAULT_CONFIG) -> jax.Array:
@@ -108,6 +108,26 @@ def segmented_argsort(keys, segment_ids, *, config: SortConfig = DEFAULT_CONFIG,
     _, perm = hw_engine.argsort_words(tuple(seg_words) + tuple(key_words),
                                       index_dtype=index_dtype)
     return perm
+
+
+def merge_sorted(a, b, *, config: SortConfig = DEFAULT_CONFIG):
+    """Merge two sorted arrays into one sorted array (``std::merge`` semantics).
+
+    Keys-only, so the observable result is fully determined by the multiset.
+    The TPU sorter is an oblivious network (its cost is data-independent of
+    sortedness), so the merge is realized as one fused unstable sort of the
+    concatenation — the same wall-clock any merge primitive would cost here.
+    """
+    from .api import _as_words, _decode
+
+    aj, bj = jnp.asarray(a), jnp.asarray(b)
+    if aj.dtype != bj.dtype:
+        raise TypeError(f"merge_sorted inputs must share a dtype, got "
+                        f"{aj.dtype} and {bj.dtype}")
+    cat = jnp.concatenate([aj, bj])
+    words, dtype = _as_words(cat, config.descending)
+    sw, _ = hw_engine.sort_words(tuple(words), (), stable=False)
+    return _decode(tuple(sw), dtype, config.descending)
 
 
 def top_k(x, k: int, *, largest: bool = True, index_dtype=jnp.uint32):

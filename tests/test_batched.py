@@ -156,3 +156,51 @@ def test_top_k_bounds(rng):
         top_k(x, 0)
     with pytest.raises(ValueError):
         top_k(x, 11)
+
+
+# ---------------------------------------------------------------------------
+# merge_sorted
+
+
+def test_merge_sorted(rng):
+    from radix_sorting_tpu.extras import merge_sorted
+    a = np.sort(rng.integers(0, 1000, size=700, dtype=np.uint32))
+    b = np.sort(rng.integers(0, 1000, size=1300, dtype=np.uint32))
+    out = np.asarray(merge_sorted(jnp.asarray(a), jnp.asarray(b)))
+    assert np.array_equal(out, np.sort(np.concatenate([a, b])))
+    with pytest.raises(TypeError):
+        merge_sorted(jnp.asarray(a), jnp.asarray(b).astype(jnp.int32))
+
+
+def test_merge_sorted_floats_descending(rng):
+    from radix_sorting_tpu.extras import merge_sorted
+    import radix_sorting_tpu as rst
+    cfg = rst.SortConfig(descending=True)
+    a = np.sort(rng.standard_normal(500).astype(np.float32))[::-1].copy()
+    b = np.sort(rng.standard_normal(400).astype(np.float32))[::-1].copy()
+    out = np.asarray(merge_sorted(jnp.asarray(a), jnp.asarray(b), config=cfg))
+    assert np.array_equal(out, np.sort(np.concatenate([a, b]))[::-1])
+
+
+# ---------------------------------------------------------------------------
+# transform compatibility: public ops under jit and vmap
+
+
+def test_sort_under_jit_and_vmap(rng):
+    import jax
+    import radix_sorting_tpu as rst
+    x = rng.integers(0, 1 << 32, size=(6, 500), dtype=np.uint32)
+    cfg = rst.SortConfig(detect_presorted=False)
+    out = np.asarray(jax.vmap(lambda r: rst.sort(r, config=cfg))(jnp.asarray(x)))
+    assert np.array_equal(out, np.sort(x, axis=-1))
+    out2 = np.asarray(jax.jit(lambda r: rst.sort(r, config=cfg))(jnp.asarray(x[0])))
+    assert np.array_equal(out2, np.sort(x[0]))
+
+
+def test_argsort_under_vmap(rng):
+    import jax
+    import radix_sorting_tpu as rst
+    x = rng.integers(0, 50, size=(4, 300), dtype=np.int32)
+    cfg = rst.SortConfig(detect_presorted=False)
+    perm = np.asarray(jax.vmap(lambda r: rst.argsort(r, config=cfg))(jnp.asarray(x)))
+    assert np.array_equal(perm, np.argsort(x, axis=-1, kind="stable"))
