@@ -194,6 +194,15 @@ def test_u64_sorts(rng):
     assert np.array_equal(np.asarray(out_mp, dtype=np.uint64), np.sort(x))
 
 
+def test_lsd_u64_two_word_keys(rng):
+    # the LSD engine over two-word (64-bit) keys: 16 passes at 4-bit digits
+    # exercises multi-word digit extraction and per-pass elision together
+    x = rng.integers(0, 1 << 64, size=5_000, dtype=np.uint64)
+    cfg = rst.SortConfig(strategy=rst.Strategy.LSD, radix_bits=4)
+    out = np.asarray(rst.sort(x, config=cfg), dtype=np.uint64)
+    assert np.array_equal(out, np.sort(x))
+
+
 def test_i64_f64_sorts(rng):
     xi = rng.integers(np.iinfo(np.int64).min, np.iinfo(np.int64).max, size=20_000,
                       dtype=np.int64)
