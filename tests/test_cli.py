@@ -29,6 +29,8 @@ def _run_cli(*args):
     ("20000", "0", "0", "i32"),
     ("10000", "f32"),
     ("10000", "u64"),
+    ("10000", "u64", "0x0000F0F000000000"),  # 64-bit mask -> counting path
+    ("10000", "i64", "0x800000000000FF00"),  # sign-bit-live 64-bit mask
 ])
 def test_cli_verifies(args):
     out = _run_cli(*args)
