@@ -190,6 +190,21 @@ def test_balanced_generic_pairs_pytree(rng, mesh):
     assert np.array_equal(got_w, payload["wide"][order])
 
 
+@pytest.mark.parametrize("D", [2, 3, 5, 7])
+def test_balanced_odd_device_counts(rng, D):
+    # non-power-of-two meshes: quantile targets, padding, and the chunked
+    # exchange must not assume D divides anything
+    m = make_sort_mesh(D)
+    n = (1 << 12) + 77
+    x = rng.integers(0, 1 << 16, size=n, dtype=np.uint32)  # dup-heavy
+    sp, counts, ovf = distributed_sort_balanced_u32(jnp.asarray(x), m)
+    assert int(np.asarray(ovf).sum()) == 0
+    assert np.array_equal(gather_sorted(sp, counts, ovf), np.sort(x))
+    n_local = -(-n // D)
+    assert np.array_equal(np.asarray(counts),
+                          np.clip(n - np.arange(D) * n_local, 0, n_local))
+
+
 def test_balanced_single_device(rng):
     mesh1 = make_sort_mesh(1)
     x = rng.integers(0, 1 << 32, size=1000, dtype=np.uint32)
