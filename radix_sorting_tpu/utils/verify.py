@@ -76,23 +76,13 @@ def rank_is_stable_sort(keys, perm, descending: bool = False) -> bool:
     if not is_permutation(perm, np.asarray(keys).shape[0]):
         return False
     from ..api import _as_words
+    from ..ops.probes import word_lt
     words, _ = _as_words(keys, descending)
     p = jnp.asarray(perm).astype(jnp.int32)
     gw = tuple(w[p] for w in words)
     # lexicographic (word0, word1, ..., index) must be strictly increasing
+    # (the index tiebreak makes ties impossible)
     ops = gw + (p.astype(jnp.uint32),)
-    def lex_le(heads, tails):
-        lt = None
-        eq = None
-        for ha, ta in zip(heads, tails):
-            this_lt = ha < ta
-            this_eq = ha == ta
-            if lt is None:
-                lt, eq = this_lt, this_eq
-            else:
-                lt = lt | (eq & this_lt)
-                eq = eq & this_eq
-        return lt  # strict less-than; index tiebreak makes ties impossible
     heads = tuple(o[:-1] for o in ops)
     tails = tuple(o[1:] for o in ops)
-    return bool(jnp.all(lex_le(heads, tails)))
+    return bool(jnp.all(word_lt(heads, tails)))
