@@ -8,6 +8,7 @@ from .balanced import (  # noqa: F401
     distributed_sort_balanced_u32,
     distributed_sort_pairs_balanced,
     distributed_sort_pairs_balanced_u32,
+    distributed_unique_sorted,
 )
 from .histogram import global_digit_histogram, global_live_bit_mask  # noqa: F401
 from .shuffle import (  # noqa: F401

@@ -64,6 +64,7 @@ __all__ = [
     "distributed_argsort_balanced_u32",
     "distributed_sort_pairs_balanced_u32",
     "distributed_select",
+    "distributed_unique_sorted",
 ]
 
 from ..ops.probes import word_lt
@@ -457,6 +458,85 @@ def distributed_sort_pairs_balanced(
 
 # ---------------------------------------------------------------------------
 # exact distributed order statistics (no full sort)
+
+
+def distributed_unique_sorted(x, mesh: Mesh, axis_name: str = "shards",
+                              chunk: Optional[int] = None):
+    """Sorted unique values of a mesh-sharded array, fixed-shape contract.
+
+    The pod-scale generalization of the bitmap unique-sort capability
+    (`bitmap_sort_16.c:6-28` → `extras.unique_sorted`): balanced distributed
+    sort, then per-shard boundary dedup — each shard compares its first
+    element against its left neighbor's last valid element (one `ppermute`)
+    and compacts its new-value boundaries to the front.
+
+    Returns (values_padded, counts, overflow[=0]): shard d's first
+    ``counts[d]`` entries are its slice of the global sorted uniques; the
+    global result is their concatenation (``gather_sorted`` applies).
+    """
+    from ..api import _as_words, _decode
+
+    words, dtype = _as_words(x, False)
+    out_words, sort_counts, overflow = _run_balanced(
+        tuple(words), mesh, axis_name, num_key_planes=len(words),
+        strict=False, chunk=chunk)
+    D = mesh.shape[axis_name]
+    n_local = int(out_words[0].shape[0]) // D
+    nplanes = len(out_words)
+
+    def dedup_body(*args):
+        planes, valid = args[:nplanes], args[nplanes]
+        me = lax.axis_index(axis_name)
+        nv = valid[0]
+        # left neighbor's last valid row (device 0's incoming value is unused)
+        last = tuple(p[jnp.maximum(nv - 1, 0)] for p in planes)
+        prev = tuple(
+            lax.ppermute(v, axis_name, [(d, (d + 1) % D) for d in range(D)])
+            for v in last
+        )
+        slot = lax.broadcasted_iota(jnp.int32, (n_local,), 0)
+        in_valid = slot < nv
+        differs_prev_row = jnp.zeros((n_local,), jnp.bool_)
+        differs_left = jnp.zeros((), jnp.bool_)
+        for p, q in zip(planes, prev):
+            differs_prev_row = differs_prev_row | jnp.concatenate(
+                [jnp.zeros((1,), jnp.bool_), p[1:] != p[:-1]])
+            differs_left = differs_left | (p[0] != q)
+        first_is_new = jnp.where(me == 0, True, differs_left) & (nv > 0)
+        is_new = jnp.where(slot == 0, first_is_new, differs_prev_row) & in_valid
+        count = jnp.sum(is_new.astype(jnp.int32))
+        idx, = jnp.nonzero(is_new, size=n_local, fill_value=n_local - 1)
+        outs = tuple(jnp.where(jnp.arange(n_local) < count,
+                               jnp.take(p, idx), _SENTINEL) for p in planes)
+        return (*outs, count[None])
+
+    if D == 1:
+        # single shard: plain boundary dedup, no collectives
+        nv = int(np.asarray(sort_counts)[0])
+        is_new = jnp.concatenate([
+            jnp.asarray([nv > 0]),
+            jnp.zeros((0,), jnp.bool_) if n_local < 2 else
+            jnp.logical_or.reduce(jnp.stack(
+                [p[1:] != p[:-1] for p in out_words])) ,
+        ]) & (jnp.arange(n_local) < nv)
+        count = jnp.sum(is_new.astype(jnp.int32))
+        idx, = jnp.nonzero(is_new, size=n_local, fill_value=n_local - 1)
+        outs = tuple(jnp.where(jnp.arange(n_local) < count,
+                               jnp.take(p, idx), _SENTINEL) for p in out_words)
+        vals = _decode(outs, dtype, False)
+        return vals, count[None], jnp.zeros((1,), jnp.int32)
+
+    mapped = jax.shard_map(
+        dedup_body,
+        mesh=mesh,
+        in_specs=tuple(P(axis_name) for _ in range(nplanes + 1)),
+        out_specs=tuple(P(axis_name) for _ in range(nplanes + 1)),
+        check_vma=False,
+    )
+    out = mapped(*out_words, sort_counts)
+    uniq_words, counts = out[:nplanes], out[nplanes]
+    vals = _decode(tuple(uniq_words), dtype, False)
+    return vals, counts, overflow
 
 
 def _select_body(planes, ranks, axis_name, n_local):

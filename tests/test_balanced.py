@@ -190,6 +190,64 @@ def test_balanced_generic_pairs_pytree(rng, mesh):
     assert np.array_equal(got_w, payload["wide"][order])
 
 
+# ---------------------------------------------------------------------------
+# distributed_unique_sorted
+
+
+def test_distributed_unique(rng, mesh):
+    from radix_sorting_tpu.parallel import distributed_unique_sorted
+    n = (1 << 14) + 55
+    x = rng.integers(0, 300, size=n, dtype=np.uint32)  # heavy duplicates
+    vals, counts, ovf = distributed_unique_sorted(jnp.asarray(x), mesh)
+    got = gather_sorted(vals, counts, ovf)
+    assert np.array_equal(got, np.unique(x))
+
+
+def test_distributed_unique_boundary_runs(rng, mesh):
+    from radix_sorting_tpu.parallel import distributed_unique_sorted
+    # one value's run spans several shards: must be emitted exactly once
+    n = 1 << 13
+    x = np.concatenate([
+        np.full(n // 2, 7, np.uint32),
+        rng.integers(100, 200, size=n // 2, dtype=np.uint32),
+    ])
+    rng.shuffle(x)
+    vals, counts, ovf = distributed_unique_sorted(jnp.asarray(x), mesh)
+    got = gather_sorted(vals, counts, ovf)
+    assert np.array_equal(got, np.unique(x))
+    # all-equal: exactly one unique
+    eq = np.full(n, 0xFFFFFFFF, np.uint32)  # the sentinel value itself
+    vals, counts, ovf = distributed_unique_sorted(jnp.asarray(eq), mesh)
+    got = gather_sorted(vals, counts, ovf)
+    assert np.array_equal(got, np.asarray([0xFFFFFFFF], np.uint32))
+
+
+def test_distributed_unique_floats_and_u64(rng, mesh):
+    from radix_sorting_tpu.parallel import distributed_unique_sorted
+    n = 1 << 12
+    xf = np.repeat(rng.standard_normal(50).astype(np.float32), n // 50)
+    rng.shuffle(xf)
+    vals, counts, ovf = distributed_unique_sorted(jnp.asarray(xf), mesh)
+    got = gather_sorted(jnp.asarray(vals).view(jnp.uint32), counts, ovf).view(np.float32)
+    assert np.array_equal(got, np.unique(xf))
+    x64 = np.repeat(rng.integers(0, 1 << 64, size=40, dtype=np.uint64), n // 40)
+    rng.shuffle(x64)
+    vals, counts, ovf = distributed_unique_sorted(x64, mesh)
+    v = np.asarray(vals, dtype=np.uint64).reshape(8, -1)
+    cn = np.asarray(counts)
+    got = np.concatenate([v[d, : cn[d]] for d in range(8)])
+    assert np.array_equal(got, np.unique(x64))
+
+
+def test_distributed_unique_single_device(rng):
+    from radix_sorting_tpu.parallel import distributed_unique_sorted
+    mesh1 = make_sort_mesh(1)
+    x = rng.integers(0, 40, size=777, dtype=np.uint32)
+    vals, counts, ovf = distributed_unique_sorted(jnp.asarray(x), mesh1)
+    got = gather_sorted(vals, counts, ovf)
+    assert np.array_equal(got, np.unique(x))
+
+
 @pytest.mark.parametrize("D", [2, 3, 5, 7])
 def test_balanced_odd_device_counts(rng, D):
     # non-power-of-two meshes: quantile targets, padding, and the chunked
