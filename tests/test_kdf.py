@@ -114,3 +114,28 @@ def test_64bit_signed_float_monotone(rng, dtype):
     words, _ = _as_words(xs, False)
     k = _lex(words)
     assert np.all(k[:-1] <= k[1:])
+
+
+def test_kdf_metadata_helpers():
+    from radix_sorting_tpu.ops import kdf
+    assert kdf.num_words("uint64") == 2 and kdf.num_words("float32") == 1
+    assert kdf.key_bits("int16") == 16 and kdf.key_bits("float64") == 64
+    with pytest.raises(TypeError):
+        kdf.key_bits("complex64")
+
+
+def test_split_join64_np_roundtrip(rng):
+    from radix_sorting_tpu.ops import kdf
+    for dt in (np.uint64, np.int64, np.float64):
+        x = rng.integers(0, 1 << 64, size=257, dtype=np.uint64).view(dt)
+        hi, lo = kdf.split64_np(x)
+        back = kdf.join64_np(hi, lo, dt)
+        assert np.array_equal(back.view(np.uint64), x.view(np.uint64))
+
+
+def test_word_lt_lexicographic(rng):
+    from radix_sorting_tpu.ops.probes import word_lt
+    a = (np.array([1, 2, 2, 2], np.uint32), np.array([9, 1, 5, 5], np.uint32))
+    b = (np.array([2, 2, 2, 2], np.uint32), np.array([0, 2, 5, 4], np.uint32))
+    got = np.asarray(word_lt(tuple(map(jnp.asarray, a)), tuple(map(jnp.asarray, b))))
+    assert got.tolist() == [True, True, False, False]
