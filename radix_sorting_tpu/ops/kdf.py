@@ -27,6 +27,13 @@ TPU-first differences from the reference:
   sign-mangle rule applied at their width.
 
 All functions are jit-compatible and shape-preserving.
+
+Backend note (measured, TPU v5e via axon): the TPU canonicalizes float16 NaN
+payloads to the quiet NaN 0x7E00 in ANY f16 bitcast or compute — non-canonical
+f16 NaNs cannot survive passage through the device regardless of algorithm
+(bfloat16 and float32/64 payloads are preserved). The KDF is bit-faithful to
+what the device representation admits; NaN ordering collapses to the single
+canonical NaN for f16 there.
 """
 
 from __future__ import annotations

@@ -43,12 +43,22 @@ def _random_values(rng, dtype, n=4096):
 
 @pytest.mark.parametrize("dtype", INT_DTYPES + FLOAT_DTYPES)
 def test_roundtrip(rng, dtype):
+    from jax import lax
     x = _random_values(rng, dtype)
     words = kdf.encode(x)
     back = kdf.decode(words, x.dtype)
+    # Expected bits = what one device bitcast sees. On CPU this is the
+    # identity; the TPU backend canonicalizes float16 NaN payloads to qNaN in
+    # ANY f16 bitcast/compute (measured; bf16 unaffected), and the KDF is
+    # bit-faithful to what the device can represent — so the oracle must pass
+    # through the same canonicalization.
+    if jnp.dtype(x.dtype).kind not in ("u", "i"):
+        expect = np.asarray(
+            lax.bitcast_convert_type(x, jnp.dtype(f"uint{x.dtype.itemsize * 8}")))
+    else:
+        expect = np.asarray(x).view(np.dtype(f"u{x.dtype.itemsize}"))
     assert np.array_equal(
-        np.asarray(back).view(np.dtype(f"u{x.dtype.itemsize}")),
-        np.asarray(x).view(np.dtype(f"u{x.dtype.itemsize}")),
+        np.asarray(back).view(np.dtype(f"u{x.dtype.itemsize}")), expect
     )
 
 
