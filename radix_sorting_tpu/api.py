@@ -202,6 +202,20 @@ def sort(x, *, config: SortConfig = DEFAULT_CONFIG, value_mask: Optional[int] = 
     strategy = cfg.strategy
     if strategy == Strategy.AUTO:
         mask = _static_live_mask(words, value_mask, dtype, cfg)
+        if mask is None and cfg.dynamic_probe \
+                and not any(isinstance(w, jax.core.Tracer) for w in words):
+            # Runtime column-skip probe (the reference's histogram probe,
+            # `radix_sort.hpp:64-70`, in live-bit form): measure which bits
+            # actually vary. Always correct — dead bits are constant by
+            # MEASUREMENT, no promise involved — at the cost of one reduce
+            # plus a host sync. The derived-word masks are positional
+            # regardless of dtype because they describe the encoded planes
+            # themselves, not the raw values.
+            measured = tuple(int(m) for m in
+                             jax.device_get(probes.live_bit_mask(words)))
+            if 0 < sum(bin(m).count("1") for m in measured) \
+                    <= min(cfg.counting_max_bits, 32):
+                mask = measured
         # descending complement flips dead bits too; counting path compacts the
         # *complemented* live bits, so pass the complemented mask
         if mask is not None:

@@ -59,6 +59,13 @@ class SortConfig:
         (`radix_sort.hpp:48-62`, `README.md:652-669`).
       skip_trivial_digits: elide passes whose digit is constant across all keys
         (column skipping, `radix_sort.hpp:64-70`, diagram `data/colskip.dot`).
+      dynamic_probe: in AUTO strategy, measure the live-bit mask of the actual
+        data (one OR-reduce + one AND-reduce + a host sync) and take the
+        COUNTING path when few bits vary — the runtime form of the
+        reference's probe-based column skipping, valid with NO value_mask
+        promise (dead bits are constant by measurement). Off by default:
+        the host sync breaks async dispatch pipelines; turn on for
+        low-entropy workloads called from Python.
     """
 
     strategy: str = Strategy.AUTO
@@ -68,6 +75,7 @@ class SortConfig:
     lsd_chunk: int = 8192
     detect_presorted: bool = True
     skip_trivial_digits: bool = True
+    dynamic_probe: bool = False
 
     def __post_init__(self):
         if self.strategy not in Strategy.ALL:

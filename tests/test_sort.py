@@ -169,6 +169,33 @@ def test_value_mask_f64_negative_mask_falls_back(rng):
     assert np.array_equal(out.view(np.uint64), oracle.view(np.uint64))
 
 
+def test_dynamic_probe_counting(rng):
+    # runtime column skip: no value_mask promise, the probe measures liveness
+    cfg = rst.SortConfig(dynamic_probe=True)
+    x = (rng.integers(0, 256, size=50_000, dtype=np.uint32) << 13).astype(np.uint32)
+    out = np.asarray(rst.sort(jnp.asarray(x), config=cfg))
+    assert np.array_equal(out, np.sort(x))
+    # floats with negatives: probe masks describe the DERIVED planes, so the
+    # float positional caveat of value_mask does not apply
+    f = np.where(rng.integers(0, 2, size=20_000) == 1, np.float32(-1.5),
+                 np.float32(3.25)).astype(np.float32)
+    out = np.asarray(rst.sort(jnp.asarray(f), config=cfg))
+    assert np.array_equal(out, np.sort(f))
+    # 64-bit keys: live bits across both planes
+    x64 = ((rng.integers(0, 16, size=20_000, dtype=np.uint64) << 40)
+           | rng.integers(0, 16, size=20_000, dtype=np.uint64)).astype(np.uint64)
+    out = np.asarray(rst.sort(x64, config=cfg), dtype=np.uint64)
+    assert np.array_equal(out, np.sort(x64))
+    # full-entropy data falls through to the hardware sorter, still correct
+    y = rng.integers(0, 1 << 32, size=20_000, dtype=np.uint32)
+    assert np.array_equal(np.asarray(rst.sort(jnp.asarray(y), config=cfg)),
+                          np.sort(y))
+    # under jit the probe is skipped (tracers), result unchanged
+    import jax
+    out = np.asarray(jax.jit(lambda a: rst.sort(a, config=cfg))(jnp.asarray(x)))
+    assert np.array_equal(out, np.sort(x))
+
+
 def test_value_mask_descending(rng):
     mask = 0x0000FF00
     x = (rng.integers(0, 1 << 32, size=50_000, dtype=np.uint32) & mask).astype(np.uint32)
