@@ -122,6 +122,12 @@ def test_balanced_generic_dtypes(rng, mesh):
     vals, counts, ovf = distributed_sort_balanced(jnp.asarray(xf), mesh)
     out = gather_sorted(jnp.asarray(vals).view(jnp.uint32), counts, ovf).view(np.float32)
     assert np.array_equal(out, np.sort(xf))
+    # half floats (TPU-native dtypes) ride the same path
+    xh = rng.standard_normal(n).astype(np.float16)
+    vals, counts, ovf = distributed_sort_balanced(jnp.asarray(xh), mesh)
+    out = gather_sorted(jnp.asarray(vals).view(jnp.uint16).astype(jnp.uint32),
+                        counts, ovf).astype(np.uint16)
+    assert np.array_equal(out, np.sort(xh).view(np.uint16))
     # int32 descending
     xi = rng.integers(-1 << 31, 1 << 31, size=n, dtype=np.int64).astype(np.int32)
     vals, counts, ovf = distributed_sort_balanced(jnp.asarray(xi), mesh, descending=True)
