@@ -28,6 +28,7 @@ from .config import DEFAULT_CONFIG, SortConfig, Strategy
 from .extras import (
     lexsort,
     merge_sorted,
+    nth_element,
     segmented_argsort,
     segmented_sort,
     top_k,
@@ -50,6 +51,7 @@ __all__ = [
     "bitmap_unique_sort",
     "lexsort",
     "merge_sorted",
+    "nth_element",
     "unique_sorted",
     "segmented_sort",
     "segmented_argsort",

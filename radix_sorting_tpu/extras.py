@@ -19,7 +19,7 @@ from .config import DEFAULT_CONFIG, SortConfig
 from .ops import hw_engine
 
 __all__ = ["lexsort", "unique_sorted", "segmented_sort", "segmented_argsort",
-           "top_k", "merge_sorted"]
+           "top_k", "merge_sorted", "nth_element"]
 
 
 def lexsort(keys: Sequence, *, config: SortConfig = DEFAULT_CONFIG) -> jax.Array:
@@ -128,6 +128,29 @@ def merge_sorted(a, b, *, config: SortConfig = DEFAULT_CONFIG):
     words, dtype = _as_words(cat, config.descending)
     sw, _ = hw_engine.sort_words(tuple(words), (), stable=False)
     return _decode(tuple(sw), dtype, config.descending)
+
+
+def nth_element(x, ranks, *, config: SortConfig = DEFAULT_CONFIG):
+    """Values at the given sorted ranks (exact order statistics).
+
+    ``ranks`` is a static sequence of ints in [0, n); rank order follows
+    ``config.descending``. The single-chip counterpart of
+    :func:`..parallel.distributed_select` (which needs no full sort); on one
+    chip the sorter IS the cheapest selection engine, so this sorts once and
+    takes. Returns a (len(ranks),) array of x's dtype.
+    """
+    from .api import _as_words, _decode
+
+    words, dtype = _as_words(x, config.descending)
+    n = int(words[0].shape[0])
+    ranks = [int(r) for r in ranks]
+    if not ranks:
+        raise ValueError("ranks must be non-empty")
+    if not all(0 <= r < n for r in ranks):
+        raise ValueError(f"ranks must be in [0, {n})")
+    sw, _ = hw_engine.sort_words(tuple(words), (), stable=False)
+    idx = jnp.asarray(ranks, dtype=jnp.int32)
+    return _decode(tuple(w[idx] for w in sw), dtype, config.descending)
 
 
 def top_k(x, k: int, *, largest: bool = True, index_dtype=jnp.uint32):

@@ -204,3 +204,20 @@ def test_argsort_under_vmap(rng):
     cfg = rst.SortConfig(detect_presorted=False)
     perm = np.asarray(jax.vmap(lambda r: rst.argsort(r, config=cfg))(jnp.asarray(x)))
     assert np.array_equal(perm, np.argsort(x, axis=-1, kind="stable"))
+
+
+def test_nth_element(rng):
+    from radix_sorting_tpu.extras import nth_element
+    import radix_sorting_tpu as rst
+    n = 10_000
+    x = rng.standard_normal(n).astype(np.float32)
+    got = np.asarray(nth_element(jnp.asarray(x), [0, n // 2, n - 1]))
+    assert np.array_equal(got, np.sort(x)[[0, n // 2, n - 1]])
+    cfg = rst.SortConfig(descending=True)
+    got = np.asarray(nth_element(jnp.asarray(x), [0], config=cfg))
+    assert got[0] == np.max(x)
+    x64 = rng.integers(0, 1 << 64, size=1000, dtype=np.uint64)
+    got = np.asarray(nth_element(x64, [7]), dtype=np.uint64)
+    assert got[0] == np.sort(x64)[7]
+    with pytest.raises(ValueError):
+        nth_element(jnp.asarray(x), [n])
