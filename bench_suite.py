@@ -118,9 +118,9 @@ def main() -> int:
 
     rows = []
     for n in _sizes(args.quick):
-        reps = max(1, min(10, 2_000_000 // max(n, 1)))
-        if n >= 1_000_000:
-            reps = 3
+        # enough in-jit iterations to amortize the ~170 ms tunnel round trip
+        # (google-benchmark style: more reps at smaller sizes)
+        reps = max(3, min(20, 20_000_000 // max(n, 1)))
         for name, (fn, mk) in cases.items():
             x = mk(n)
             if x is None:  # case inapplicable at this size (SkipWithError style)
