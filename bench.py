@@ -46,7 +46,10 @@ def main() -> int:
         (sw,), _ = rst.ops.hw_engine.sort_words((w,), stable=False)
         return rst.ops.kdf.decode((sw,), jnp.uint32)
 
-    K = 5
+    # Enough in-jit iterations to amortize the per-call dispatch/readback
+    # overhead (~5 ms/sort at K=5 on the tunnel); the reference's
+    # google-benchmark runs likewise iterate to steady state.
+    K = 20
 
     @jax.jit
     def steady(a):
@@ -60,10 +63,12 @@ def main() -> int:
     # compile + warm
     r = steady(x)
     np.asarray(r[-1:])
-    t0 = time.perf_counter()
-    r = steady(x)
-    np.asarray(r[-1:])  # host readback closes the async pipeline
-    dt = (time.perf_counter() - t0) / K
+    dt = 1e9
+    for _ in range(2):
+        t0 = time.perf_counter()
+        r = steady(x)
+        np.asarray(r[-1:])  # host readback closes the async pipeline
+        dt = min(dt, (time.perf_counter() - t0) / K)
 
     # verification run (exact output, like -DVERIFY_SORT)
     out = np.asarray(sort_once(x))
