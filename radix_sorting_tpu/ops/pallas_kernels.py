@@ -40,7 +40,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["histogram_tpu", "multi_digit_histogram_tpu", "regenerate_tpu"]
+__all__ = ["histogram_tpu", "multi_digit_histogram_tpu", "regenerate_tpu",
+           "histogram_pext_tpu", "regenerate_pdep_tpu"]
 
 _SUB = 8192          # elements per sub-chunk (lane-row length); tuned on v5e
 _BLOCK_SUBS = 8      # sub-chunks per grid step (64K elements per step)
@@ -201,6 +202,157 @@ def _regen_call(cum, n, bins):
         interpret=_want_interpret(),
     )(cum.reshape(bins, 1))
     return out.reshape(-1)[:n]
+
+
+# ---------------------------------------------------------------------------
+# fused PEXT histogram / PDEP regeneration (the masked counting fast path)
+#
+# The unfused pipeline spends ~half its HBM traffic writing and re-reading the
+# compacted key vector (compact -> histogram -> regenerate -> expand = five
+# full-array streams). Fusing the static bit networks into the kernels cuts
+# that to two streams: one key read (PEXT in-kernel) and one output write
+# (PDEP + dead-bit restore in-kernel).
+
+
+def _pext_rows(row, mask: int):
+    """In-kernel vectorized PEXT of a (1, T) u32 row under a static mask."""
+    out = jnp.zeros_like(row)
+    pos = 0
+    for bit in range(32):
+        if mask & (1 << bit):
+            out = out | (((row >> np.uint32(bit)) & np.uint32(1)) << np.uint32(pos))
+            pos += 1
+    return out
+
+
+def _hist_pext_kernel(x_ref, o_ref, *, mask, radix_bits, valid_n):
+    hi_bits, lo_bits = _split_bits(radix_bits)
+    H, L = 1 << hi_bits, 1 << lo_bits
+    himask = np.uint32(H - 1)
+    lomask = np.uint32(L - 1)
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        o_ref[...] = jnp.zeros_like(o_ref)
+
+    hiv = lax.broadcasted_iota(jnp.uint32, (H, 1), 0)
+    lov = lax.broadcasted_iota(jnp.uint32, (L, 1), 0)
+    base = step * (_BLOCK_SUBS * _SUB)
+
+    def body(s, _):
+        row = _pext_rows(x_ref[pl.ds(s, 1), :], mask)        # (1, _SUB)
+        eidx = base + s * _SUB + lax.broadcasted_iota(jnp.int32, (1, _SUB), 1)
+        in_range = eidx < valid_n
+        d_lo = row & lomask
+        d_hi = (row >> np.uint32(lo_bits)) & himask
+        d_hi = jnp.where(in_range, d_hi, np.uint32(H))
+        hi_oh = (hiv == d_hi).astype(jnp.bfloat16)
+        lo_oh = (lov == d_lo).astype(jnp.bfloat16)
+        partial = jax.lax.dot_general(
+            hi_oh, lo_oh, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[...] += partial.astype(jnp.int32)
+        return 0
+
+    lax.fori_loop(0, _BLOCK_SUBS, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("mask", "valid_n"))
+def _hist_pext_call(x_padded, mask, valid_n):
+    nbits = bin(mask).count("1")
+    hi_bits, lo_bits = _split_bits(nbits)
+    H, L = 1 << hi_bits, 1 << lo_bits
+    n = x_padded.shape[0]
+    block_elems = _BLOCK_SUBS * _SUB
+    steps = n // block_elems
+    kernel = functools.partial(_hist_pext_kernel, mask=mask, radix_bits=nbits,
+                               valid_n=valid_n)
+    out = pl.pallas_call(
+        kernel,
+        grid=(steps,),
+        in_specs=[pl.BlockSpec((_BLOCK_SUBS, _SUB), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((H, L), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((H, L), jnp.int32),
+        interpret=_want_interpret(),
+    )(x_padded.reshape(steps * _BLOCK_SUBS, _SUB))
+    return out.reshape(H * L)
+
+
+def histogram_pext_tpu(w: jax.Array, mask: int) -> jax.Array:
+    """Histogram of the PEXT-compacted live bits of ``w`` in ONE key read.
+
+    ``mask`` is the static live-bit mask; returns (2^popcount,) int32 counts
+    of the compacted values. Fuses `probes.compact_live_bits` into the
+    factored-one-hot histogram kernel (no intermediate compacted array).
+    """
+    wp, n = _pad_keys(w)
+    return _hist_pext_call(wp, int(mask), n)
+
+
+def _regen_pdep_kernel(cum_ref, dead_ref, o_ref, *, bins, mask):
+    step = pl.program_id(0)
+    cum = cum_ref[...]                                     # (bins, 1) int32
+    dead = dead_ref[0]                                     # scalar uint32
+    base = step * (_BLOCK_SUBS * _SUB)
+    ones_row = jnp.ones((1, bins), jnp.bfloat16)
+
+    def body(r, _):
+        j = base + r * _SUB + lax.broadcasted_iota(jnp.int32, (1, _SUB), 1)
+        emitted = (cum <= j).astype(jnp.bfloat16)          # (bins, _SUB)
+        v = jax.lax.dot_general(
+            ones_row, emitted, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32).astype(jnp.uint32)             # (1, _SUB)
+        out = jnp.zeros_like(v)
+        pos = 0
+        for bit in range(32):
+            if mask & (1 << bit):
+                out = out | (((v >> np.uint32(pos)) & np.uint32(1))
+                             << np.uint32(bit))
+                pos += 1
+        o_ref[pl.ds(r, 1), :] = out | dead
+        return 0
+
+    lax.fori_loop(0, _BLOCK_SUBS, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "mask"))
+def _regen_pdep_call(cum, dead, n, mask):
+    bins = cum.shape[0]
+    block_elems = _BLOCK_SUBS * _SUB
+    n_pad = -(-n // block_elems) * block_elems
+    steps = n_pad // block_elems
+    kernel = functools.partial(_regen_pdep_kernel, bins=bins, mask=mask)
+    out = pl.pallas_call(
+        kernel,
+        grid=(steps,),
+        in_specs=[
+            pl.BlockSpec((bins, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((_BLOCK_SUBS, _SUB), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((steps * _BLOCK_SUBS, _SUB), jnp.uint32),
+        interpret=_want_interpret(),
+    )(cum.reshape(bins, 1), dead.reshape(1))
+    return out.reshape(-1)[:n]
+
+
+def regenerate_pdep_tpu(hist: jax.Array, n: int, mask: int,
+                        dead_word: jax.Array) -> jax.Array:
+    """Regenerate the sorted masked keys directly: PDEP + dead-bit restore
+    fused into the counting-sort rewrite (one output write, no intermediates).
+
+    ``hist`` counts the compacted values; ``dead_word`` is a scalar u32 whose
+    bits outside ``mask`` are the constant dead bits of every key.
+    """
+    cum = jnp.cumsum(hist, dtype=jnp.int32)
+    dead = (dead_word & np.uint32(~int(mask) & 0xFFFFFFFF)).astype(jnp.uint32)
+    return _regen_pdep_call(cum, dead, n, int(mask))
 
 
 def regenerate_tpu(hist: jax.Array, n: int) -> jax.Array:

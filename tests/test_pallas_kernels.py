@@ -51,3 +51,39 @@ def test_regenerate_degenerate():
     hist = jnp.asarray(np.array([0, 5000, 0, 0], np.int32))
     out = np.asarray(pk.regenerate_tpu(hist, 5000))
     assert np.all(out == 1)
+
+
+def test_histogram_pext_fused(rng):
+    # fused PEXT histogram == bincount of host-compacted values
+    mask = 0xF0F00000
+    x = (rng.integers(0, 1 << 32, size=200_000, dtype=np.uint32)
+         & np.uint32(mask)).astype(np.uint32)
+    h = np.asarray(pk.histogram_pext_tpu(jnp.asarray(x), mask))
+    # host PEXT
+    c = np.zeros_like(x)
+    pos = 0
+    for bit in range(32):
+        if mask & (1 << bit):
+            c |= ((x >> np.uint32(bit)) & 1).astype(np.uint32) << np.uint32(pos)
+            pos += 1
+    assert np.array_equal(h, np.bincount(c, minlength=1 << 8))
+
+
+def test_regenerate_pdep_fused(rng):
+    mask = 0x0000FF00
+    dead = np.uint32(0x40000001)  # constant bits outside the mask
+    x = ((rng.integers(0, 256, size=150_000, dtype=np.uint32) << 8)
+         | dead).astype(np.uint32)
+    h = pk.histogram_pext_tpu(jnp.asarray(x), mask)
+    out = np.asarray(pk.regenerate_pdep_tpu(h, x.size, mask, jnp.asarray(x)[0]))
+    assert np.array_equal(out, np.sort(x))
+
+
+def test_counting_fused_end_to_end(rng):
+    # the engine path exercised via the public API on this backend
+    import radix_sorting_tpu as rst
+    mask = 0xF0F00000
+    x = (rng.integers(0, 1 << 32, size=100_000, dtype=np.uint32)
+         & np.uint32(mask)).astype(np.uint32)
+    out = np.asarray(rst.sort(jnp.asarray(x), value_mask=mask))
+    assert np.array_equal(out, np.sort(x))
