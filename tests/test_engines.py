@@ -144,3 +144,23 @@ def test_presort_guard_identity(rng):
     y = jnp.asarray(rng.integers(0, 1 << 32, 1000, dtype=np.uint32))
     (w2,), _ = hw_engine.sort_words_presort_guard((y,))
     assert np.array_equal(np.asarray(w2), np.sort(np.asarray(y)))
+
+
+def test_lsd_engine_checkified_no_oob(rng):
+    # SURVEY §5 race/sanitizer row: the valgrind-memcheck analog on device is
+    # checkify's index checks — the LSD engine's stable scatter must never
+    # write out of bounds, including on ragged (padded) inputs.
+    import jax
+    from jax.experimental import checkify
+    from radix_sorting_tpu.ops import lsd_engine
+
+    x = jnp.asarray(rng.integers(0, 1 << 32, size=10_000 + 137, dtype=np.uint32))
+
+    def run(a):
+        (sw,), _ = lsd_engine.sort_words_lsd((a,), (), radix_bits=8, chunk=2048)
+        return sw
+
+    checked = checkify.checkify(run, errors=checkify.index_checks)
+    err, out = jax.jit(checked)(x)
+    err.throw()  # raises if any indexed write was out of bounds
+    assert np.array_equal(np.asarray(out), np.sort(np.asarray(x)))
