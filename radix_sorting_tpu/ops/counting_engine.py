@@ -127,15 +127,22 @@ def sort_words_counting(words, masks, descending: bool = False):
         out = lax.sort(words, dimension=0, is_stable=False, num_keys=len(words))
         return tuple(o[::-1] for o in out) if descending else tuple(out)
 
-    # Single-word TPU fast path: PEXT fused into the histogram read and PDEP +
-    # dead-bit restore fused into the regeneration write — two full-array HBM
-    # streams total instead of five (see pallas_kernels).
-    if (len(words) == 1 and not descending and masks[0]
-            and jax.default_backend() == "tpu"):
-        from .pallas_kernels import histogram_pext_tpu, regenerate_pdep_tpu
-        (w,) = words
-        hist = histogram_pext_tpu(w, masks[0])
-        return (regenerate_pdep_tpu(hist, int(w.shape[0]), masks[0], w[0]),)
+    # TPU fast paths: PEXT fused into the histogram read and PDEP + dead-bit
+    # restore fused into the regeneration write — two (three for 64-bit)
+    # full-array HBM streams total instead of five+ (see pallas_kernels).
+    if not descending and jax.default_backend() == "tpu":
+        if len(words) == 1 and masks[0]:
+            from .pallas_kernels import histogram_pext_tpu, regenerate_pdep_tpu
+            (w,) = words
+            hist = histogram_pext_tpu(w, masks[0])
+            return (regenerate_pdep_tpu(hist, int(w.shape[0]), masks[0], w[0]),)
+        if len(words) == 2 and nbits:
+            from .pallas_kernels import histogram_pext2_tpu, regenerate_pdep2_tpu
+            hi, lo = words
+            hist = histogram_pext2_tpu(hi, lo, masks[0], masks[1])
+            shi, slo = regenerate_pdep2_tpu(
+                hist, int(hi.shape[0]), masks[0], masks[1], hi[0], lo[0])
+            return (shi, slo)
 
     # merge plane compactions LSW-first so the MSW plane takes the high bits
     merged = jnp.zeros_like(words[0])

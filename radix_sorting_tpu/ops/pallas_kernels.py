@@ -41,7 +41,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["histogram_tpu", "multi_digit_histogram_tpu", "regenerate_tpu",
-           "histogram_pext_tpu", "regenerate_pdep_tpu"]
+           "histogram_pext_tpu", "regenerate_pdep_tpu",
+           "histogram_pext2_tpu", "regenerate_pdep2_tpu"]
 
 _SUB = 8192          # elements per sub-chunk (lane-row length); tuned on v5e
 _BLOCK_SUBS = 8      # sub-chunks per grid step (64K elements per step)
@@ -291,6 +292,149 @@ def histogram_pext_tpu(w: jax.Array, mask: int) -> jax.Array:
     """
     wp, n = _pad_keys(w)
     return _hist_pext_call(wp, int(mask), n)
+
+
+def _hist_pext2_kernel(hi_ref, lo_ref, o_ref, *, mask_hi, mask_lo, radix_bits,
+                       valid_n):
+    """Two-plane (64-bit key) fused PEXT histogram: one read of both planes."""
+    hi_bits, lo_bits = _split_bits(radix_bits)
+    H, L = 1 << hi_bits, 1 << lo_bits
+    himask = np.uint32(H - 1)
+    lomask = np.uint32(L - 1)
+    nb_lo = bin(mask_lo).count("1")
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        o_ref[...] = jnp.zeros_like(o_ref)
+
+    hiv = lax.broadcasted_iota(jnp.uint32, (H, 1), 0)
+    lov = lax.broadcasted_iota(jnp.uint32, (L, 1), 0)
+    base = step * (_BLOCK_SUBS * _SUB)
+
+    def body(s, _):
+        row = (_pext_rows(hi_ref[pl.ds(s, 1), :], mask_hi) << np.uint32(nb_lo)) \
+            | _pext_rows(lo_ref[pl.ds(s, 1), :], mask_lo)
+        eidx = base + s * _SUB + lax.broadcasted_iota(jnp.int32, (1, _SUB), 1)
+        in_range = eidx < valid_n
+        d_lo = row & lomask
+        d_hi = (row >> np.uint32(lo_bits)) & himask
+        d_hi = jnp.where(in_range, d_hi, np.uint32(H))
+        hi_oh = (hiv == d_hi).astype(jnp.bfloat16)
+        lo_oh = (lov == d_lo).astype(jnp.bfloat16)
+        partial = jax.lax.dot_general(
+            hi_oh, lo_oh, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[...] += partial.astype(jnp.int32)
+        return 0
+
+    lax.fori_loop(0, _BLOCK_SUBS, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("mask_hi", "mask_lo", "valid_n"))
+def _hist_pext2_call(hi_p, lo_p, mask_hi, mask_lo, valid_n):
+    nbits = bin(mask_hi).count("1") + bin(mask_lo).count("1")
+    hb, lb = _split_bits(nbits)
+    H, L = 1 << hb, 1 << lb
+    n = hi_p.shape[0]
+    block_elems = _BLOCK_SUBS * _SUB
+    steps = n // block_elems
+    kernel = functools.partial(_hist_pext2_kernel, mask_hi=mask_hi,
+                               mask_lo=mask_lo, radix_bits=nbits,
+                               valid_n=valid_n)
+    spec = pl.BlockSpec((_BLOCK_SUBS, _SUB), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(steps,),
+        in_specs=[spec, spec],
+        out_specs=pl.BlockSpec((H, L), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((H, L), jnp.int32),
+        interpret=_want_interpret(),
+    )(hi_p.reshape(steps * _BLOCK_SUBS, _SUB),
+      lo_p.reshape(steps * _BLOCK_SUBS, _SUB))
+    return out.reshape(H * L)
+
+
+def histogram_pext2_tpu(hi: jax.Array, lo: jax.Array, mask_hi: int,
+                        mask_lo: int) -> jax.Array:
+    """Fused cross-plane PEXT histogram for two-word (64-bit) keys."""
+    hi_p, n = _pad_keys(hi)
+    lo_p, _ = _pad_keys(lo)
+    return _hist_pext2_call(hi_p, lo_p, int(mask_hi), int(mask_lo), n)
+
+
+def _regen_pdep2_kernel(cum_ref, dead_ref, ohi_ref, olo_ref, *, bins,
+                        mask_hi, mask_lo):
+    step = pl.program_id(0)
+    cum = cum_ref[...]
+    dead_hi = dead_ref[0]
+    dead_lo = dead_ref[1]
+    nb_lo = bin(mask_lo).count("1")
+    base = step * (_BLOCK_SUBS * _SUB)
+    ones_row = jnp.ones((1, bins), jnp.bfloat16)
+
+    def _pdep(v, mask):
+        out = jnp.zeros_like(v)
+        pos = 0
+        for bit in range(32):
+            if mask & (1 << bit):
+                out = out | (((v >> np.uint32(pos)) & np.uint32(1))
+                             << np.uint32(bit))
+                pos += 1
+        return out
+
+    def body(r, _):
+        j = base + r * _SUB + lax.broadcasted_iota(jnp.int32, (1, _SUB), 1)
+        emitted = (cum <= j).astype(jnp.bfloat16)
+        v = jax.lax.dot_general(
+            ones_row, emitted, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32).astype(jnp.uint32)
+        olo_ref[pl.ds(r, 1), :] = _pdep(v & np.uint32((1 << nb_lo) - 1),
+                                        mask_lo) | dead_lo
+        ohi_ref[pl.ds(r, 1), :] = _pdep(v >> np.uint32(nb_lo), mask_hi) | dead_hi
+        return 0
+
+    lax.fori_loop(0, _BLOCK_SUBS, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "mask_hi", "mask_lo"))
+def _regen_pdep2_call(cum, dead, n, mask_hi, mask_lo):
+    bins = cum.shape[0]
+    block_elems = _BLOCK_SUBS * _SUB
+    n_pad = -(-n // block_elems) * block_elems
+    steps = n_pad // block_elems
+    kernel = functools.partial(_regen_pdep2_kernel, bins=bins,
+                               mask_hi=mask_hi, mask_lo=mask_lo)
+    ospec = pl.BlockSpec((_BLOCK_SUBS, _SUB), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    oshape = jax.ShapeDtypeStruct((steps * _BLOCK_SUBS, _SUB), jnp.uint32)
+    hi, lo = pl.pallas_call(
+        kernel,
+        grid=(steps,),
+        in_specs=[
+            pl.BlockSpec((bins, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[ospec, ospec],
+        out_shape=[oshape, oshape],
+        interpret=_want_interpret(),
+    )(cum.reshape(bins, 1), dead.reshape(2))
+    return hi.reshape(-1)[:n], lo.reshape(-1)[:n]
+
+
+def regenerate_pdep2_tpu(hist: jax.Array, n: int, mask_hi: int, mask_lo: int,
+                         dead_hi_word: jax.Array, dead_lo_word: jax.Array):
+    """Fused two-plane regeneration: (hi, lo) sorted masked planes in one write."""
+    cum = jnp.cumsum(hist, dtype=jnp.int32)
+    dead = jnp.stack([
+        dead_hi_word & np.uint32(~int(mask_hi) & 0xFFFFFFFF),
+        dead_lo_word & np.uint32(~int(mask_lo) & 0xFFFFFFFF),
+    ]).astype(jnp.uint32)
+    return _regen_pdep2_call(cum, dead, n, int(mask_hi), int(mask_lo))
 
 
 def _regen_pdep_kernel(cum_ref, dead_ref, o_ref, *, bins, mask):

@@ -87,3 +87,21 @@ def test_counting_fused_end_to_end(rng):
          & np.uint32(mask)).astype(np.uint32)
     out = np.asarray(rst.sort(jnp.asarray(x), value_mask=mask))
     assert np.array_equal(out, np.sort(x))
+
+
+def test_fused_two_plane_u64(rng):
+    # cross-plane fused kernels: live bits in BOTH planes of a 64-bit key
+    mask_hi, mask_lo = 0x000000F0, 0xF0000000
+    hi = (rng.integers(0, 1 << 32, size=120_000, dtype=np.uint32)
+          & np.uint32(mask_hi)) | np.uint32(0x01000000)
+    lo = (rng.integers(0, 1 << 32, size=120_000, dtype=np.uint32)
+          & np.uint32(mask_lo)) | np.uint32(0x00000007)
+    h = pk.histogram_pext2_tpu(jnp.asarray(hi), jnp.asarray(lo),
+                               mask_hi | 0, mask_lo | 0)
+    shi, slo = pk.regenerate_pdep2_tpu(h, hi.size, mask_hi, mask_lo,
+                                       jnp.asarray(hi)[0], jnp.asarray(lo)[0])
+    full = (hi.astype(np.uint64) << np.uint64(32)) | lo.astype(np.uint64)
+    order = np.sort(full)
+    got = (np.asarray(shi).astype(np.uint64) << np.uint64(32)) \
+        | np.asarray(slo).astype(np.uint64)
+    assert np.array_equal(got, order)
