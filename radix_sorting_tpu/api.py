@@ -97,6 +97,16 @@ def _decode(words, dtype, descending: bool):
     return kdf.decode(words, dtype, descending=descending)
 
 
+def _check_index_width(n: int, index_dtype) -> None:
+    """Raise when ``index_dtype`` cannot represent indices [0, n) — shared by
+    every entry point that builds an index plane (wrapping iota would
+    silently corrupt the permutation)."""
+    if n - 1 > int(jnp.iinfo(index_dtype).max):
+        raise ValueError(
+            f"index_dtype {jnp.dtype(index_dtype).name} cannot index {n} keys"
+        )
+
+
 def _flatten_payload(values):
     if values is None:
         return (), None
@@ -261,10 +271,7 @@ def argsort(x, *, config: SortConfig = DEFAULT_CONFIG, index_dtype=jnp.uint32):
     cfg = config
     words, _ = _as_words(x, cfg.descending)
     n = int(words[0].shape[0])
-    if n - 1 > int(jnp.iinfo(index_dtype).max):
-        raise ValueError(
-            f"index_dtype {jnp.dtype(index_dtype).name} cannot index {n} keys"
-        )
+    _check_index_width(n, index_dtype)
     iota = jnp.arange(n, dtype=index_dtype)
     if n <= 1:
         return iota
@@ -414,6 +421,7 @@ def argsort_batched(x, *, axis: int = -1, config: SortConfig = DEFAULT_CONFIG,
     xm, axis = _moveaxis_last(x, axis)
     words, _ = _as_words(xm, config.descending, allow_nd=True)
     dim = words[0].ndim - 1
+    _check_index_width(int(words[0].shape[dim]), index_dtype)
     iota = lax.broadcasted_iota(index_dtype, words[0].shape, dim)
     # index as last sort key: strict order, unstable sorter, stable result
     out = lax.sort(tuple(words) + (iota,), dimension=dim, is_stable=False,

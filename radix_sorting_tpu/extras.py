@@ -105,6 +105,8 @@ def segmented_argsort(keys, segment_ids, *, config: SortConfig = DEFAULT_CONFIG,
     key_words, _ = _as_words(keys, config.descending)
     if seg_words[0].shape != key_words[0].shape:
         raise ValueError("segment_ids must match the keys' length")
+    from .api import _check_index_width
+    _check_index_width(int(key_words[0].shape[0]), index_dtype)
     _, perm = hw_engine.argsort_words(tuple(seg_words) + tuple(key_words),
                                       index_dtype=index_dtype)
     return perm
@@ -120,11 +122,18 @@ def merge_sorted(a, b, *, config: SortConfig = DEFAULT_CONFIG):
     """
     from .api import _as_words, _decode
 
-    aj, bj = jnp.asarray(a), jnp.asarray(b)
-    if aj.dtype != bj.dtype:
-        raise TypeError(f"merge_sorted inputs must share a dtype, got "
-                        f"{aj.dtype} and {bj.dtype}")
-    cat = jnp.concatenate([aj, bj])
+    a = a if hasattr(a, "dtype") else np.asarray(a)
+    b = b if hasattr(b, "dtype") else np.asarray(b)
+    da, db = np.dtype(a.dtype), np.dtype(b.dtype)
+    if da != db:
+        raise TypeError(f"merge_sorted inputs must share a dtype, got {da} and {db}")
+    if (isinstance(a, np.ndarray) and da.itemsize == 8
+            and not jax.config.jax_enable_x64):
+        # concatenate host-side so the (hi, lo)-plane split sees full width
+        # (jnp.asarray would silently truncate 64-bit numpy input to 32 bits)
+        cat = np.concatenate([np.asarray(a), np.asarray(b)])
+    else:
+        cat = jnp.concatenate([jnp.asarray(a), jnp.asarray(b)])
     words, dtype = _as_words(cat, config.descending)
     sw, _ = hw_engine.sort_words(tuple(words), (), stable=False)
     return _decode(tuple(sw), dtype, config.descending)
@@ -168,6 +177,8 @@ def top_k(x, k: int, *, largest: bool = True, index_dtype=jnp.uint32):
     n = int(words[0].shape[0])
     if not 0 < k <= n:
         raise ValueError(f"k must be in [1, {n}], got {k}")
+    from .api import _check_index_width
+    _check_index_width(n, index_dtype)
     sw, perm = hw_engine.argsort_words(tuple(words), index_dtype=index_dtype)
     top_words = tuple(w[:k] for w in sw)
     return _decode(top_words, dtype, largest), perm[:k]

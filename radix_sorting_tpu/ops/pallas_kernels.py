@@ -226,35 +226,48 @@ def _pext_rows(row, mask: int):
     return out
 
 
+def _pdep_rows(v, mask: int):
+    """In-kernel vectorized PDEP (inverse of :func:`_pext_rows`)."""
+    out = jnp.zeros_like(v)
+    pos = 0
+    for bit in range(32):
+        if mask & (1 << bit):
+            out = out | (((v >> np.uint32(pos)) & np.uint32(1)) << np.uint32(bit))
+            pos += 1
+    return out
+
+
+def _onehot_accum(row, in_range, o_ref, H, L, lo_bits):
+    """Accumulate the factored one-hot outer product of one digit row into o_ref."""
+    hiv = lax.broadcasted_iota(jnp.uint32, (H, 1), 0)
+    lov = lax.broadcasted_iota(jnp.uint32, (L, 1), 0)
+    d_lo = row & np.uint32(L - 1)
+    d_hi = (row >> np.uint32(lo_bits)) & np.uint32(H - 1)
+    d_hi = jnp.where(in_range, d_hi, np.uint32(H))  # padding lands nowhere
+    hi_oh = (hiv == d_hi).astype(jnp.bfloat16)
+    lo_oh = (lov == d_lo).astype(jnp.bfloat16)
+    partial = jax.lax.dot_general(
+        hi_oh, lo_oh, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[...] += partial.astype(jnp.int32)
+
+
 def _hist_pext_kernel(x_ref, o_ref, *, mask, radix_bits, valid_n):
     hi_bits, lo_bits = _split_bits(radix_bits)
     H, L = 1 << hi_bits, 1 << lo_bits
-    himask = np.uint32(H - 1)
-    lomask = np.uint32(L - 1)
     step = pl.program_id(0)
 
     @pl.when(step == 0)
     def _init():
         o_ref[...] = jnp.zeros_like(o_ref)
 
-    hiv = lax.broadcasted_iota(jnp.uint32, (H, 1), 0)
-    lov = lax.broadcasted_iota(jnp.uint32, (L, 1), 0)
     base = step * (_BLOCK_SUBS * _SUB)
 
     def body(s, _):
         row = _pext_rows(x_ref[pl.ds(s, 1), :], mask)        # (1, _SUB)
         eidx = base + s * _SUB + lax.broadcasted_iota(jnp.int32, (1, _SUB), 1)
-        in_range = eidx < valid_n
-        d_lo = row & lomask
-        d_hi = (row >> np.uint32(lo_bits)) & himask
-        d_hi = jnp.where(in_range, d_hi, np.uint32(H))
-        hi_oh = (hiv == d_hi).astype(jnp.bfloat16)
-        lo_oh = (lov == d_lo).astype(jnp.bfloat16)
-        partial = jax.lax.dot_general(
-            hi_oh, lo_oh, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        o_ref[...] += partial.astype(jnp.int32)
+        _onehot_accum(row, eidx < valid_n, o_ref, H, L, lo_bits)
         return 0
 
     lax.fori_loop(0, _BLOCK_SUBS, body, 0)
@@ -299,8 +312,6 @@ def _hist_pext2_kernel(hi_ref, lo_ref, o_ref, *, mask_hi, mask_lo, radix_bits,
     """Two-plane (64-bit key) fused PEXT histogram: one read of both planes."""
     hi_bits, lo_bits = _split_bits(radix_bits)
     H, L = 1 << hi_bits, 1 << lo_bits
-    himask = np.uint32(H - 1)
-    lomask = np.uint32(L - 1)
     nb_lo = bin(mask_lo).count("1")
     step = pl.program_id(0)
 
@@ -308,25 +319,13 @@ def _hist_pext2_kernel(hi_ref, lo_ref, o_ref, *, mask_hi, mask_lo, radix_bits,
     def _init():
         o_ref[...] = jnp.zeros_like(o_ref)
 
-    hiv = lax.broadcasted_iota(jnp.uint32, (H, 1), 0)
-    lov = lax.broadcasted_iota(jnp.uint32, (L, 1), 0)
     base = step * (_BLOCK_SUBS * _SUB)
 
     def body(s, _):
         row = (_pext_rows(hi_ref[pl.ds(s, 1), :], mask_hi) << np.uint32(nb_lo)) \
             | _pext_rows(lo_ref[pl.ds(s, 1), :], mask_lo)
         eidx = base + s * _SUB + lax.broadcasted_iota(jnp.int32, (1, _SUB), 1)
-        in_range = eidx < valid_n
-        d_lo = row & lomask
-        d_hi = (row >> np.uint32(lo_bits)) & himask
-        d_hi = jnp.where(in_range, d_hi, np.uint32(H))
-        hi_oh = (hiv == d_hi).astype(jnp.bfloat16)
-        lo_oh = (lov == d_lo).astype(jnp.bfloat16)
-        partial = jax.lax.dot_general(
-            hi_oh, lo_oh, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        o_ref[...] += partial.astype(jnp.int32)
+        _onehot_accum(row, eidx < valid_n, o_ref, H, L, lo_bits)
         return 0
 
     lax.fori_loop(0, _BLOCK_SUBS, body, 0)
@@ -376,16 +375,6 @@ def _regen_pdep2_kernel(cum_ref, dead_ref, ohi_ref, olo_ref, *, bins,
     base = step * (_BLOCK_SUBS * _SUB)
     ones_row = jnp.ones((1, bins), jnp.bfloat16)
 
-    def _pdep(v, mask):
-        out = jnp.zeros_like(v)
-        pos = 0
-        for bit in range(32):
-            if mask & (1 << bit):
-                out = out | (((v >> np.uint32(pos)) & np.uint32(1))
-                             << np.uint32(bit))
-                pos += 1
-        return out
-
     def body(r, _):
         j = base + r * _SUB + lax.broadcasted_iota(jnp.int32, (1, _SUB), 1)
         emitted = (cum <= j).astype(jnp.bfloat16)
@@ -393,9 +382,9 @@ def _regen_pdep2_kernel(cum_ref, dead_ref, ohi_ref, olo_ref, *, bins,
             ones_row, emitted, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).astype(jnp.int32).astype(jnp.uint32)
-        olo_ref[pl.ds(r, 1), :] = _pdep(v & np.uint32((1 << nb_lo) - 1),
-                                        mask_lo) | dead_lo
-        ohi_ref[pl.ds(r, 1), :] = _pdep(v >> np.uint32(nb_lo), mask_hi) | dead_hi
+        olo_ref[pl.ds(r, 1), :] = _pdep_rows(v & np.uint32((1 << nb_lo) - 1),
+                                             mask_lo) | dead_lo
+        ohi_ref[pl.ds(r, 1), :] = _pdep_rows(v >> np.uint32(nb_lo), mask_hi) | dead_hi
         return 0
 
     lax.fori_loop(0, _BLOCK_SUBS, body, 0)
@@ -451,14 +440,7 @@ def _regen_pdep_kernel(cum_ref, dead_ref, o_ref, *, bins, mask):
             ones_row, emitted, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).astype(jnp.int32).astype(jnp.uint32)             # (1, _SUB)
-        out = jnp.zeros_like(v)
-        pos = 0
-        for bit in range(32):
-            if mask & (1 << bit):
-                out = out | (((v >> np.uint32(pos)) & np.uint32(1))
-                             << np.uint32(bit))
-                pos += 1
-        o_ref[pl.ds(r, 1), :] = out | dead
+        o_ref[pl.ds(r, 1), :] = _pdep_rows(v, mask) | dead
         return 0
 
     lax.fori_loop(0, _BLOCK_SUBS, body, 0)

@@ -510,22 +510,8 @@ def distributed_unique_sorted(x, mesh: Mesh, axis_name: str = "shards",
                                jnp.take(p, idx), _SENTINEL) for p in planes)
         return (*outs, count[None])
 
-    if D == 1:
-        # single shard: plain boundary dedup, no collectives
-        nv = int(np.asarray(sort_counts)[0])
-        is_new = jnp.concatenate([
-            jnp.asarray([nv > 0]),
-            jnp.zeros((0,), jnp.bool_) if n_local < 2 else
-            jnp.logical_or.reduce(jnp.stack(
-                [p[1:] != p[:-1] for p in out_words])) ,
-        ]) & (jnp.arange(n_local) < nv)
-        count = jnp.sum(is_new.astype(jnp.int32))
-        idx, = jnp.nonzero(is_new, size=n_local, fill_value=n_local - 1)
-        outs = tuple(jnp.where(jnp.arange(n_local) < count,
-                               jnp.take(p, idx), _SENTINEL) for p in out_words)
-        vals = _decode(outs, dtype, False)
-        return vals, count[None], jnp.zeros((1,), jnp.int32)
-
+    # One dedup implementation for every D: on a 1-device mesh the ppermute
+    # is a self-send whose value device 0 ignores (first_is_new path).
     mapped = jax.shard_map(
         dedup_body,
         mesh=mesh,

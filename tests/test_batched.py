@@ -221,3 +221,26 @@ def test_nth_element(rng):
     assert got[0] == np.sort(x64)[7]
     with pytest.raises(ValueError):
         nth_element(jnp.asarray(x), [n])
+
+
+def test_merge_sorted_u64_numpy(rng):
+    # regression: jnp.asarray would silently truncate 64-bit numpy inputs
+    from radix_sorting_tpu.extras import merge_sorted
+    a = np.array([1, (1 << 40) + 5], np.uint64)
+    b = np.array([3, (1 << 40) + 1], np.uint64)
+    out = np.asarray(merge_sorted(a, b), dtype=np.uint64)
+    assert np.array_equal(out, np.sort(np.concatenate([a, b])))
+
+
+def test_index_width_guards(rng):
+    # every index-plane entry point rejects a too-narrow index dtype
+    from radix_sorting_tpu.extras import segmented_argsort, top_k
+    x = jnp.zeros((1 << 17,), jnp.uint32)
+    with pytest.raises(ValueError, match="cannot index"):
+        rst.argsort(x, index_dtype=jnp.uint16)
+    with pytest.raises(ValueError, match="cannot index"):
+        rst.argsort_batched(x.reshape(1, -1), index_dtype=jnp.uint16)
+    with pytest.raises(ValueError, match="cannot index"):
+        top_k(x, 3, index_dtype=jnp.uint16)
+    with pytest.raises(ValueError, match="cannot index"):
+        segmented_argsort(x, jnp.zeros_like(x), index_dtype=jnp.uint16)
