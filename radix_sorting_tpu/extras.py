@@ -50,10 +50,23 @@ def unique_sorted(x, *, size: Optional[int] = None,
     """Sorted unique values with a fixed-shape contract: (values, count).
 
     ``values`` has static length ``size`` (default n); slots past ``count``
-    repeat the maximum value. The wide-domain generalization of the bitmap
-    unique-sort (`bitmap_sort_16.c`): sort, then keep boundary elements.
+    hold a maximal padding value (the domain maximum for narrow unsigned
+    keys, the array maximum otherwise). The wide-domain generalization of
+    the bitmap unique-sort (`bitmap_sort_16.c`): narrow unsigned dtypes take
+    the presence-histogram path directly (no sort); everything else sorts
+    and keeps boundary elements.
     """
     from . import api
+    from .ops.bitmap import bitmap_unique_sort
+
+    xa = x if hasattr(x, "dtype") else jnp.asarray(x)
+    if (not config.descending
+            and jnp.dtype(xa.dtype) in (jnp.uint8, jnp.uint16)
+            and jnp.shape(xa)[0] > 0):
+        # narrow unsigned domains: presence-histogram path, no sort at all
+        n0 = int(jnp.shape(xa)[0])
+        return bitmap_unique_sort(jnp.asarray(xa),
+                                  size=size if size is not None else n0)
 
     s = api.sort(x, config=config)
     sj = jnp.asarray(s)

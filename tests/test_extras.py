@@ -54,3 +54,21 @@ def test_sort_pairs_u64_keys(rng):
     order = np.argsort(k, kind="stable")
     assert np.array_equal(np.asarray(sk, dtype=np.uint64), k[order])
     assert np.array_equal(np.asarray(sv), v[order])
+
+
+def test_unique_sorted_narrow_unsigned_route(rng):
+    # u8/u16 route through the presence-histogram path (no sort)
+    for dt, hi in ((np.uint8, 256), (np.uint16, 1 << 16)):
+        x = rng.integers(0, hi, size=30_000).astype(dt)
+        values, count = unique_sorted(jnp.asarray(x))
+        uq = np.unique(x)
+        assert int(count) == len(uq)
+        assert np.array_equal(np.asarray(values)[: len(uq)], uq)
+    # descending still takes the generic sorted path
+    x = rng.integers(0, 200, size=5_000).astype(np.uint8)
+    import radix_sorting_tpu as rst
+    values, count = unique_sorted(jnp.asarray(x),
+                                  config=rst.SortConfig(descending=True))
+    uq = np.unique(x)[::-1]
+    assert int(count) == len(uq)
+    assert np.array_equal(np.asarray(values)[: len(uq)], uq)
