@@ -150,6 +150,8 @@ def _static_live_mask(words, value_mask, dtype, cfg: SortConfig) -> Optional[Tup
                 return None
         # Signed-int KDF is a positional sign-bit XOR: live positions of the
         # derived key equal the live positions of the raw bits.
+    elif kind == "b":
+        mask = 1  # bool derived domain is exactly {0, 1}: 2-bin counting
     elif kind in ("u", "i", "f") and bits <= cfg.counting_max_bits:
         # Valid for floats too at *dtype width*: the KDF maps a b-bit float
         # into b live derived bits (`_float_mangle` masks to the width), so

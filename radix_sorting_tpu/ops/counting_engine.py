@@ -66,7 +66,9 @@ def counting_sort_compact(c: jax.Array, bins: int, block: int = 1 << 20) -> jax.
     if bins > _REGEN_MAX_BINS:
         (s,) = lax.sort((c,), dimension=0, is_stable=False, num_keys=1)
         return s
-    if jax.default_backend() == "tpu" and bins & (bins - 1) == 0:
+    # bins >= 4: a 2-bin factored one-hot has a single-lane half Mosaic
+    # cannot lower; the XLA formulation is trivial at that size anyway
+    if jax.default_backend() == "tpu" and bins & (bins - 1) == 0 and bins >= 4:
         from .pallas_kernels import histogram_tpu, regenerate_tpu
         hist = histogram_tpu(c, 0, radix_bits=bins.bit_length() - 1)
         return regenerate_tpu(hist, n)
@@ -130,13 +132,15 @@ def sort_words_counting(words, masks, descending: bool = False):
     # TPU fast paths: PEXT fused into the histogram read and PDEP + dead-bit
     # restore fused into the regeneration write — two (three for 64-bit)
     # full-array HBM streams total instead of five+ (see pallas_kernels).
-    if not descending and jax.default_backend() == "tpu":
+    # nbits >= 2: Mosaic cannot lower the degenerate one-hot of a single-lane
+    # (L=1) factored histogram; 2-bin domains use the XLA path (trivial there)
+    if not descending and nbits >= 2 and jax.default_backend() == "tpu":
         if len(words) == 1 and masks[0]:
             from .pallas_kernels import histogram_pext_tpu, regenerate_pdep_tpu
             (w,) = words
             hist = histogram_pext_tpu(w, masks[0])
             return (regenerate_pdep_tpu(hist, int(w.shape[0]), masks[0], w[0]),)
-        if len(words) == 2 and nbits:
+        if len(words) == 2:
             from .pallas_kernels import histogram_pext2_tpu, regenerate_pdep2_tpu
             hi, lo = words
             hist = histogram_pext2_tpu(hi, lo, masks[0], masks[1])

@@ -66,6 +66,7 @@ SUPPORTED_DTYPES = (
     "uint8", "uint16", "uint32", "uint64",
     "int8", "int16", "int32", "int64",
     "float16", "bfloat16", "float32", "float64",
+    "bool",  # beyond-reference: argsort(bool) is a stable partition
 )
 
 
@@ -77,8 +78,10 @@ def _canonical_dtype(dtype) -> np.dtype:
 
 
 def kind(dtype) -> str:
-    """'u' / 'i' / 'f' — robust to ml_dtypes (bfloat16 reports numpy kind 'V')."""
+    """'u' / 'i' / 'f' / 'b' — robust to ml_dtypes (bfloat16 reports numpy kind 'V')."""
     d = _canonical_dtype(dtype)
+    if d == jnp.bool_:
+        return "b"
     if jnp.issubdtype(d, jnp.floating):
         return "f"
     if jnp.issubdtype(d, jnp.unsignedinteger):
@@ -190,7 +193,10 @@ def encode(x: jax.Array, descending: bool = False) -> Tuple[jax.Array, ...]:
             raise TypeError(d)
         words = (hi, lo)
     else:
-        if k == "u":
+        if k == "b":
+            # False < True; the derived domain is exactly {0, 1}
+            w = x.astype(_U32)
+        elif k == "u":
             w = x.astype(_U32)
         elif k == "i":
             # Sign-flip at the native width, then zero-extend: reinterpret as
@@ -240,6 +246,8 @@ def decode(words: Sequence[jax.Array], dtype, descending: bool = False) -> jax.A
         return _join64(hi, lo, d)
 
     (w,) = words
+    if k == "b":
+        return w.astype(jnp.bool_)
     if k == "u":
         return w.astype(d) if bits < 32 else lax.bitcast_convert_type(w, d)
     if k == "i":

@@ -267,3 +267,22 @@ def test_sort_f16_counting_strategy(rng):
                          detect_presorted=False)
     out = np.asarray(rst.sort(jnp.asarray(x), config=cfg))
     assert np.array_equal(out.view(np.uint16), np.sort(x).view(np.uint16))
+
+
+def test_bool_keys(rng):
+    # beyond-reference: bool keys; argsort(bool) is a stable partition
+    x = rng.integers(0, 2, size=10_000).astype(bool)
+    out = np.asarray(rst.sort(jnp.asarray(x)))
+    assert out.dtype == np.bool_ and np.array_equal(out, np.sort(x))
+    perm = np.asarray(rst.argsort(jnp.asarray(x)))
+    assert np.array_equal(perm, np.argsort(x, kind="stable").astype(np.uint32))
+    # descending: True first, stable
+    cfg = rst.SortConfig(descending=True)
+    perm = np.asarray(rst.argsort(jnp.asarray(x), config=cfg))
+    oracle = np.argsort(~x, kind="stable")
+    assert np.array_equal(perm, oracle.astype(np.uint32))
+    # payload rides
+    v = rng.integers(0, 1 << 32, size=10_000, dtype=np.uint32)
+    sk, sv = rst.sort_pairs(jnp.asarray(x), jnp.asarray(v))
+    order = np.argsort(x, kind="stable")
+    assert np.array_equal(np.asarray(sv), v[order])
