@@ -216,6 +216,12 @@ def _check_selection_width(n_padded: int) -> None:
 
 def _run_balanced(planes, mesh, axis_name, num_key_planes, strict, chunk):
     """Pad to D shards, shard_map the balanced body, return static counts."""
+    # Non-strict mode is keys-only by construction: the final merge sorts by
+    # the key planes with the unstable network, which would scramble payload
+    # rows among equal keys. Payload callers must ride the strict (index
+    # tiebreak) mode.
+    assert strict or len(planes) == num_key_planes, \
+        "payload planes require strict=True (index tiebreak)"
     D = mesh.shape[axis_name]
     n = int(planes[0].shape[0])
     if n < 1:
