@@ -29,6 +29,8 @@ from .extras import (
     lexsort,
     merge_sorted,
     nth_element,
+    stable_partition,
+    value_counts,
     segmented_argsort,
     segmented_sort,
     top_k,
@@ -52,6 +54,8 @@ __all__ = [
     "lexsort",
     "merge_sorted",
     "nth_element",
+    "stable_partition",
+    "value_counts",
     "unique_sorted",
     "segmented_sort",
     "segmented_argsort",

@@ -19,7 +19,8 @@ from .config import DEFAULT_CONFIG, SortConfig
 from .ops import hw_engine
 
 __all__ = ["lexsort", "unique_sorted", "segmented_sort", "segmented_argsort",
-           "top_k", "merge_sorted", "nth_element"]
+           "top_k", "merge_sorted", "nth_element", "stable_partition",
+           "value_counts"]
 
 
 def lexsort(keys: Sequence, *, config: SortConfig = DEFAULT_CONFIG) -> jax.Array:
@@ -150,6 +151,59 @@ def merge_sorted(a, b, *, config: SortConfig = DEFAULT_CONFIG):
     words, dtype = _as_words(cat, config.descending)
     sw, _ = hw_engine.sort_words(tuple(words), (), stable=False)
     return _decode(tuple(sw), dtype, config.descending)
+
+
+def stable_partition(pred, values):
+    """Stable partition of a payload pytree by a boolean predicate.
+
+    Rows where ``pred`` is False come first, then rows where it is True,
+    each group keeping input order (``std::stable_partition`` with the
+    False-first convention of ascending bool order). Returns
+    ``(partitioned_values, num_false)``. One fused stable pairs sort by the
+    {0,1} derived key.
+    """
+    from .api import sort_pairs
+
+    p = jnp.asarray(pred)
+    if p.dtype != jnp.bool_:
+        raise TypeError(f"pred must be boolean, got {p.dtype}")
+    sorted_pred, out = sort_pairs(p, values)
+    del sorted_pred  # grouped predicate is implied by num_false
+    num_false = jnp.sum(~p, dtype=jnp.int32)
+    return out, num_false
+
+
+def value_counts(x, *, size: Optional[int] = None,
+                 config: SortConfig = DEFAULT_CONFIG):
+    """Sorted unique values with their multiplicities (run-length encode).
+
+    Fixed-shape contract: ``(values, counts, num_unique)`` with static length
+    ``size`` (default n); slots past ``num_unique`` hold a maximal padding
+    value with count 0. One sort plus boundary differencing. ``size`` should
+    be >= the number of uniques: a truncated result folds the dropped runs'
+    mass into the last kept count.
+    """
+    from . import api
+
+    s = api.sort(x, config=config)
+    sj = jnp.asarray(s)
+    n = int(sj.shape[0])
+    if size is None:
+        size = n
+    if n == 0:
+        return jnp.zeros((size,), sj.dtype), jnp.zeros((size,), jnp.int32), jnp.int32(0)
+    raw = sj.view(jnp.dtype(f"uint{jnp.dtype(sj.dtype).itemsize * 8}")) \
+        if jnp.dtype(sj.dtype).kind not in ("u", "i", "b") else sj
+    is_new = jnp.concatenate([jnp.ones((1,), jnp.bool_), raw[1:] != raw[:-1]])
+    num_unique = jnp.sum(is_new.astype(jnp.int32))
+    starts, = jnp.nonzero(is_new, size=size, fill_value=n)
+    # run length = next boundary - this boundary; the slot after the last
+    # real boundary is n (the fill), closing the final run
+    bounded = jnp.concatenate([starts, jnp.full((1,), n, starts.dtype)])
+    lens = (bounded[1:] - bounded[:-1]).astype(jnp.int32)
+    live = jnp.arange(size) < num_unique
+    vals = sj[jnp.clip(starts, 0, n - 1)]
+    return vals, jnp.where(live, lens, 0), num_unique
 
 
 def nth_element(x, ranks, *, config: SortConfig = DEFAULT_CONFIG):

@@ -72,3 +72,37 @@ def test_unique_sorted_narrow_unsigned_route(rng):
     uq = np.unique(x)[::-1]
     assert int(count) == len(uq)
     assert np.array_equal(np.asarray(values)[: len(uq)], uq)
+
+
+def test_stable_partition(rng):
+    from radix_sorting_tpu.extras import stable_partition
+    n = 5_000
+    pred = rng.integers(0, 2, size=n).astype(bool)
+    vals = {"a": jnp.asarray(rng.integers(0, 1 << 32, size=n, dtype=np.uint32)),
+            "b": jnp.asarray(rng.standard_normal(n).astype(np.float32))}
+    out, num_false = stable_partition(jnp.asarray(pred), vals)
+    order = np.argsort(pred, kind="stable")  # False first, stable
+    assert int(num_false) == int((~pred).sum())
+    assert np.array_equal(np.asarray(out["a"]), np.asarray(vals["a"])[order])
+    assert np.array_equal(np.asarray(out["b"]), np.asarray(vals["b"])[order])
+    with pytest.raises(TypeError):
+        stable_partition(jnp.zeros(4, jnp.uint32), vals)
+
+
+def test_value_counts(rng):
+    from radix_sorting_tpu.extras import value_counts
+    x = rng.integers(0, 50, size=10_000, dtype=np.int32)
+    vals, counts, k = value_counts(jnp.asarray(x))
+    uq, cnt = np.unique(x, return_counts=True)
+    assert int(k) == len(uq)
+    assert np.array_equal(np.asarray(vals)[: len(uq)], uq)
+    assert np.array_equal(np.asarray(counts)[: len(uq)], cnt)
+    assert int(np.asarray(counts)[len(uq):].sum()) == 0
+    # floats with duplicates, sized output
+    xf = np.repeat(rng.standard_normal(20).astype(np.float32), 13)
+    rng.shuffle(xf)
+    vals, counts, k = value_counts(jnp.asarray(xf), size=64)
+    uq, cnt = np.unique(xf, return_counts=True)
+    assert int(k) == len(uq)
+    assert np.array_equal(np.asarray(vals)[: len(uq)], uq)
+    assert np.array_equal(np.asarray(counts)[: len(uq)], cnt)
