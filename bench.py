@@ -77,7 +77,9 @@ def main() -> int:
     # secondary showcase rates, same steady-state methodology (recorded as
     # extra keys of the same single JSON line)
     def steady_rate(fn, a, reps):
-        g = jax.jit(lambda v: lax.fori_loop(0, reps, lambda i, c: fn(c), a))
+        # the runtime input must flow through the loop (a closed-over array
+        # would be embedded as an HLO constant, inviting constant folding)
+        g = jax.jit(lambda v: lax.fori_loop(0, reps, lambda i, c: fn(c), v))
         r = g(a)
         np.asarray(jnp.ravel(r)[-1:])
         t0 = time.perf_counter()
@@ -101,7 +103,9 @@ def main() -> int:
 
     def batched_once(c):
         (s,) = lax.sort((c,), dimension=1, is_stable=False, num_keys=1)
-        return c ^ (s[0, 0] & np.uint32(1)) ^ np.uint32(1)
+        # consume EVERY row's output so no row sort is dead code
+        dep = jnp.bitwise_xor.reduce(s[:, 0]) & np.uint32(1)
+        return c ^ dep ^ np.uint32(1)
 
     dt_batched = steady_rate(batched_once, xb, 10)
 

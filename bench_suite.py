@@ -47,8 +47,13 @@ def _steady_ms(fn, x, reps):
         def body(i, c):
             r = fn(c)
             # real data dependence (defeats DCE) that leaves the workload's
-            # distribution intact: flip bit 0 of the input by an output bit
-            return c ^ (jnp.ravel(r)[-1].astype(c.dtype) & c.dtype.type(1))
+            # distribution intact: flip bit 0 of the input by an output bit.
+            # A strided sample XOR-reduced consumes output from EVERY region
+            # (for batched cases, one element of each row would otherwise be
+            # enough for XLA to discard the other rows' sorts).
+            flat = jnp.ravel(r)
+            dep = jnp.bitwise_xor.reduce(flat[:: max(1, flat.size // 4096)])
+            return c ^ (dep.astype(c.dtype) & c.dtype.type(1))
         return lax.fori_loop(0, reps, body, a)
 
     g = jax.jit(outer)

@@ -46,6 +46,41 @@ def lexsort(keys: Sequence, *, config: SortConfig = DEFAULT_CONFIG) -> jax.Array
     return perm
 
 
+def _sorted_boundaries(s, size: int):
+    """(boundary_values, run_lengths, num_unique) of a SORTED array, fixed shape.
+
+    Handles the no-x64 numpy 64-bit result of :func:`api.sort` host-side
+    (``jnp.asarray`` would silently truncate it to 32 bits). Uniqueness is
+    bitwise under the KDF total order: -0.0 and +0.0 are distinct values, as
+    are NaNs with different payloads — consistent with how the sorts
+    themselves order floats.
+    """
+    if isinstance(s, np.ndarray):
+        n = s.shape[0]
+        raw = np.ascontiguousarray(s).view(f"u{s.dtype.itemsize}")
+        is_new = np.concatenate([[True], raw[1:] != raw[:-1]])
+        idx = np.flatnonzero(is_new)
+        k = idx.shape[0]
+        vals = np.full((size,), s[-1], s.dtype)
+        vals[: min(k, size)] = s[idx[:size]]
+        lens = np.zeros((size,), np.int32)
+        bounded = np.concatenate([idx[:size], [n]])
+        lens[: min(k, size)] = (bounded[1:] - bounded[:-1])[: min(k, size)]
+        return vals, lens, np.int32(k)
+    sj = jnp.asarray(s)
+    n = int(sj.shape[0])
+    raw = sj.view(jnp.dtype(f"uint{jnp.dtype(sj.dtype).itemsize * 8}")) \
+        if jnp.dtype(sj.dtype).kind not in ("u", "i", "b") else sj
+    is_new = jnp.concatenate([jnp.ones((1,), jnp.bool_), raw[1:] != raw[:-1]])
+    num_unique = jnp.sum(is_new.astype(jnp.int32))
+    starts, = jnp.nonzero(is_new, size=size, fill_value=n)
+    bounded = jnp.concatenate([starts, jnp.full((1,), n, starts.dtype)])
+    lens = (bounded[1:] - bounded[:-1]).astype(jnp.int32)
+    live = jnp.arange(size) < num_unique
+    vals = sj[jnp.clip(starts, 0, n - 1)]
+    return vals, jnp.where(live, lens, 0), num_unique
+
+
 def unique_sorted(x, *, size: Optional[int] = None,
                   config: SortConfig = DEFAULT_CONFIG) -> Tuple[jax.Array, jax.Array]:
     """Sorted unique values with a fixed-shape contract: (values, count).
@@ -55,34 +90,29 @@ def unique_sorted(x, *, size: Optional[int] = None,
     keys, the array maximum otherwise). The wide-domain generalization of
     the bitmap unique-sort (`bitmap_sort_16.c`): narrow unsigned dtypes take
     the presence-histogram path directly (no sort); everything else sorts
-    and keeps boundary elements.
+    and keeps boundary elements. Uniqueness is bitwise under the KDF total
+    order (see :func:`_sorted_boundaries`).
     """
     from . import api
     from .ops.bitmap import bitmap_unique_sort
 
     xa = x if hasattr(x, "dtype") else jnp.asarray(x)
-    if (not config.descending
-            and jnp.dtype(xa.dtype) in (jnp.uint8, jnp.uint16)
-            and jnp.shape(xa)[0] > 0):
-        # narrow unsigned domains: presence-histogram path, no sort at all
-        n0 = int(jnp.shape(xa)[0])
-        return bitmap_unique_sort(jnp.asarray(xa),
-                                  size=size if size is not None else n0)
-
-    s = api.sort(x, config=config)
-    sj = jnp.asarray(s)
-    n = int(sj.shape[0])
+    if np.ndim(xa) != 1:
+        raise ValueError(f"keys must be 1-D, got shape {jnp.shape(xa)}")
+    n = int(jnp.shape(xa)[0])
     if size is None:
         size = n
+    if (not config.descending
+            and jnp.dtype(xa.dtype) in (jnp.uint8, jnp.uint16)
+            and n > 0):
+        # narrow unsigned domains: presence-histogram path, no sort at all
+        return bitmap_unique_sort(jnp.asarray(xa), size=size)
+
+    s = api.sort(x, config=config)
     if n == 0:
-        return jnp.zeros((size,), sj.dtype), jnp.int32(0)
-    raw = sj.view(jnp.dtype(f"uint{jnp.dtype(sj.dtype).itemsize * 8}")) \
-        if jnp.dtype(sj.dtype).kind not in ("u", "i") else sj
-    is_new = jnp.concatenate([jnp.ones((1,), jnp.bool_), raw[1:] != raw[:-1]])
-    count = jnp.sum(is_new.astype(jnp.int32))
-    # compact boundary values into the front, fixed shape
-    idx, = jnp.nonzero(is_new, size=size, fill_value=n - 1)
-    return sj[idx], count
+        return jnp.zeros((size,), jnp.asarray(s).dtype), jnp.int32(0)
+    vals, _, count = _sorted_boundaries(s, size)
+    return vals, count
 
 
 def segmented_sort(keys, segment_ids, *, config: SortConfig = DEFAULT_CONFIG):
@@ -181,29 +211,19 @@ def value_counts(x, *, size: Optional[int] = None,
     ``size`` (default n); slots past ``num_unique`` hold a maximal padding
     value with count 0. One sort plus boundary differencing. ``size`` should
     be >= the number of uniques: a truncated result folds the dropped runs'
-    mass into the last kept count.
+    mass into the last kept count. Uniqueness is bitwise under the KDF total
+    order (-0.0 and +0.0 are distinct, NaN payloads are distinct) —
+    consistent with how the sorts order floats.
     """
     from . import api
 
-    s = api.sort(x, config=config)
-    sj = jnp.asarray(s)
-    n = int(sj.shape[0])
+    n = int(jnp.shape(x)[0])
     if size is None:
         size = n
     if n == 0:
-        return jnp.zeros((size,), sj.dtype), jnp.zeros((size,), jnp.int32), jnp.int32(0)
-    raw = sj.view(jnp.dtype(f"uint{jnp.dtype(sj.dtype).itemsize * 8}")) \
-        if jnp.dtype(sj.dtype).kind not in ("u", "i", "b") else sj
-    is_new = jnp.concatenate([jnp.ones((1,), jnp.bool_), raw[1:] != raw[:-1]])
-    num_unique = jnp.sum(is_new.astype(jnp.int32))
-    starts, = jnp.nonzero(is_new, size=size, fill_value=n)
-    # run length = next boundary - this boundary; the slot after the last
-    # real boundary is n (the fill), closing the final run
-    bounded = jnp.concatenate([starts, jnp.full((1,), n, starts.dtype)])
-    lens = (bounded[1:] - bounded[:-1]).astype(jnp.int32)
-    live = jnp.arange(size) < num_unique
-    vals = sj[jnp.clip(starts, 0, n - 1)]
-    return vals, jnp.where(live, lens, 0), num_unique
+        d = jnp.asarray(x).dtype
+        return jnp.zeros((size,), d), jnp.zeros((size,), jnp.int32), jnp.int32(0)
+    return _sorted_boundaries(api.sort(x, config=config), size)
 
 
 def nth_element(x, ranks, *, config: SortConfig = DEFAULT_CONFIG):

@@ -106,3 +106,25 @@ def test_value_counts(rng):
     assert int(k) == len(uq)
     assert np.array_equal(np.asarray(vals)[: len(uq)], uq)
     assert np.array_equal(np.asarray(counts)[: len(uq)], cnt)
+
+
+def test_value_counts_u64_no_truncation(rng):
+    # regression: jnp.asarray of the numpy-u64 sort result truncated to 32 bits
+    from radix_sorting_tpu.extras import unique_sorted, value_counts
+    x = np.array([1, (1 << 40) + 1, (1 << 40) + 1, 7], np.uint64)
+    vals, counts, k = value_counts(x)
+    uq, cnt = np.unique(x, return_counts=True)
+    assert int(k) == len(uq)
+    assert np.array_equal(np.asarray(vals, dtype=np.uint64)[: len(uq)], uq)
+    assert np.array_equal(np.asarray(counts)[: len(uq)], cnt)
+    values, count = unique_sorted(x)
+    assert int(count) == len(uq)
+    assert np.array_equal(np.asarray(values, dtype=np.uint64)[: len(uq)], uq)
+
+
+def test_unique_sorted_rejects_2d():
+    import radix_sorting_tpu as rst
+    with pytest.raises(ValueError, match="1-D"):
+        unique_sorted(jnp.zeros((3, 4), jnp.uint8))
+    with pytest.raises(ValueError, match="1-D"):
+        rst.value_counts(jnp.zeros((3, 4), jnp.uint32))
