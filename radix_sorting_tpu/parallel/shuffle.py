@@ -405,6 +405,13 @@ def gather_sorted(sorted_padded: jax.Array, counts: jax.Array,
     """Assemble the exact sorted array on host from padded shards + counts.
 
     Raises if the shuffle reported capacity overflow (incomplete result).
+
+    Multi-host note: this materializes the full array on the host, so it
+    requires a fully-addressable result (single-controller runtimes, or
+    after a `jax.experimental.multihost_utils` gather). On a real pod the
+    idiomatic pattern is to keep consuming the *sharded* result — each
+    host's shards hold contiguous global ranks [d*ceil(n/D), ...) with
+    `counts[d]` valid rows — rather than gathering at all.
     """
     if overflow is not None and int(np.asarray(overflow)[0]) != 0:
         raise RuntimeError(
