@@ -100,24 +100,36 @@ def _lower_bound(sorted_planes, piv_planes, n_local: int) -> jax.Array:
 def _select_pivots(part_sorted, targets, axis_name, n_local: int):
     """Exact global-rank selection: pivot[q] = composite of global rank targets[q].
 
-    Bitwise greedy MSB-first over the concatenated planes: keep a bit iff the
-    trial value still has #{x < trial} <= target globally. Composites are
-    strict (distinct), so the greedy maximum IS the element at that rank.
+    Greedy MSB-first over the concatenated planes, TWO bits per round: with
+    count_less monotone in the trial value, the passing candidates among
+    {acc|1<<p, acc|2<<p, acc|3<<p} form a prefix, so one batched
+    lower-bound + one psum decides both bits — 16 scalar-latency collectives
+    per plane instead of 32 (the psum chain dominates selection latency on a
+    real pod). Composites are strict (distinct), so the greedy maximum IS
+    the element at that rank.
     """
     npp = len(part_sorted)
     q = targets.shape[0]
     fixed = []
     for plane_i in range(npp):
-        zeros_after = tuple(jnp.zeros((q,), jnp.uint32) for _ in range(npp - plane_i - 1))
+        zeros_after = tuple(jnp.zeros((3 * q,), jnp.uint32)
+                            for _ in range(npp - plane_i - 1))
+        fixed3 = tuple(jnp.tile(f, 3) for f in fixed)
+        targets3 = jnp.tile(targets, 3)
+        cand = jnp.repeat(jnp.arange(1, 4, dtype=jnp.uint32), q)  # (3q,)
 
-        def bit_body(i, acc, _fixed=tuple(fixed), _after=zeros_after):
-            bit = jnp.left_shift(jnp.uint32(1), (jnp.int32(31) - i).astype(jnp.uint32))
-            trial = _fixed + ((acc | bit),) + _after
+        def pair_body(i, acc, _fixed3=fixed3, _after=zeros_after, _cand=cand,
+                      _t3=targets3):
+            pos = (jnp.int32(30) - 2 * i).astype(jnp.uint32)
+            trial_pl = jnp.tile(acc, 3) | (_cand << pos)
+            trial = _fixed3 + (trial_pl,) + _after
             cnt = _lower_bound(part_sorted, trial, n_local)
             gcnt = lax.psum(cnt, axis_name)
-            return jnp.where(gcnt <= targets, acc | bit, acc)
+            # number of passing candidates = the largest passing value (prefix)
+            m = jnp.sum((gcnt <= _t3).astype(jnp.uint32).reshape(3, q), axis=0)
+            return acc | (m << pos)
 
-        fixed.append(lax.fori_loop(0, 32, bit_body, jnp.zeros((q,), jnp.uint32)))
+        fixed.append(lax.fori_loop(0, 16, pair_body, jnp.zeros((q,), jnp.uint32)))
     return tuple(fixed)
 
 
