@@ -197,14 +197,20 @@ def _balanced_body(planes, axis_name, num_devices, num_key_planes, strict,
                           for p in shipped])                         # (P, D, c)
         recv = lax.all_to_all(send, axis_name, split_axis=1, concat_axis=1,
                               tiled=True)
-        new_acc = []
-        for pi in range(nship):
-            a = acc[pi]
-            for s in range(D):
-                off = jnp.where(r < rounds_from[s], acc_start[s] + r * c, dustbin)
-                a = lax.dynamic_update_slice(a, recv[pi, s], (off,))
-            new_acc.append(a)
-        return tuple(new_acc)
+
+        # place each source's chunk at its reserved offset; a traced loop over
+        # sources keeps the program size O(1) in D (pod-scale meshes)
+        def write_source(s, acc_t):
+            off = jnp.where(r < rounds_from[s], acc_start[s] + r * c, dustbin)
+            return tuple(
+                lax.dynamic_update_slice(
+                    acc_t[pi],
+                    lax.dynamic_index_in_dim(recv[pi], s, axis=0, keepdims=False),
+                    (off,))
+                for pi in range(nship)
+            )
+
+        return lax.fori_loop(0, D, write_source, acc)
 
     acc = lax.fori_loop(0, num_rounds, round_body, acc0)
 

@@ -23,9 +23,18 @@ _DTYPES = [np.uint8, np.uint16, np.uint32, np.uint64, np.int8, np.int16,
 
 def _gen(r, dtype, n):
     if np.issubdtype(dtype, np.floating):
+        from jax import lax
         raw = r.integers(0, 1 << (8 * np.dtype(dtype).itemsize), size=n,
                          dtype=np.dtype(f"u{np.dtype(dtype).itemsize}"))
-        return raw.view(dtype)
+        x = raw.view(dtype)
+        if np.dtype(dtype).itemsize == 8:
+            return x  # stays numpy: jnp.asarray would downcast without x64
+        # canonicalize through one device bitcast: the TPU backend rewrites
+        # f16 NaN payloads to qNaN in any f16 compute (see ops/kdf.py note),
+        # so the oracle must measure the same representation. Identity on CPU.
+        u = jnp.dtype(f"uint{np.dtype(dtype).itemsize * 8}")
+        return np.asarray(lax.bitcast_convert_type(
+            lax.bitcast_convert_type(jnp.asarray(x), u), jnp.dtype(dtype)))
     info = np.iinfo(dtype)
     return r.integers(info.min, info.max, size=n, dtype=dtype, endpoint=True)
 
