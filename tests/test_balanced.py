@@ -109,11 +109,12 @@ def test_balanced_pairs(rng, mesh):
     n = (1 << 13) + 321
     x = rng.integers(0, 64, size=n, dtype=np.uint32)
     payload = rng.integers(0, 1 << 32, size=n, dtype=np.uint32)
-    sk, pl, counts, ovf = distributed_sort_pairs_balanced_u32(
-        jnp.asarray(x), jnp.asarray(payload), mesh)
     order = np.argsort(x, kind="stable")
-    assert np.array_equal(gather_sorted(sk, counts, ovf), x[order])
-    assert np.array_equal(gather_sorted(pl, counts, ovf), payload[order])
+    for chunk in (None, 29):  # default and many-round exchange
+        sk, pl, counts, ovf = distributed_sort_pairs_balanced_u32(
+            jnp.asarray(x), jnp.asarray(payload), mesh, chunk=chunk)
+        assert np.array_equal(gather_sorted(sk, counts, ovf), x[order])
+        assert np.array_equal(gather_sorted(pl, counts, ovf), payload[order])
 
 
 def test_balanced_generic_dtypes(rng, mesh):
