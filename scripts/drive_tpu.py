@@ -1,0 +1,106 @@
+"""End-to-end TPU drive: every major surface, verified against host oracles.
+
+Run on a machine with the TPU attached (leave JAX_PLATFORMS alone):
+
+    PYTHONPATH="/root/.axon_site:/root/repo" python scripts/drive_tpu.py [n]
+
+This is the executable form of the verify-skill flows: the headline sort,
+masked counting (fused kernels), batched rows, rank/record sorts, 64-bit
+keys, dynamic probe, order statistics, uniques, and the distributed entry
+points on a 1-chip mesh. Exits nonzero on any mismatch.
+"""
+
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main() -> int:
+    import radix_sorting_tpu as rst
+    from radix_sorting_tpu.extras import merge_sorted, top_k
+    from radix_sorting_tpu.parallel import (
+        distributed_select,
+        distributed_sort_balanced_u32,
+        distributed_unique_sorted,
+        gather_sorted,
+        make_sort_mesh,
+    )
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
+    rng = np.random.default_rng(0xD1CE)
+    print(f"device: {jax.devices()[0]}   n={n}")
+    ok = True
+
+    def check(name, cond):
+        nonlocal ok
+        ok &= bool(cond)
+        print(f"  {'OK ' if cond else 'FAIL'} {name}")
+
+    x = rng.integers(0, 1 << 32, size=n, dtype=np.uint32)
+    xj = jnp.asarray(x)
+
+    t0 = time.perf_counter()
+    out = np.asarray(rst.sort(xj))
+    check(f"keys-only sort ({(time.perf_counter()-t0)*1e3:.0f} ms wall)",
+          np.array_equal(out, np.sort(x)))
+
+    mask = 0xF0F00000
+    xm = (x & np.uint32(mask)).astype(np.uint32)
+    out = np.asarray(rst.sort(jnp.asarray(xm), value_mask=mask))
+    check("masked counting fast path", np.array_equal(out, np.sort(xm)))
+
+    perm = np.asarray(rst.argsort(jnp.asarray(x % 1000)))
+    check("stable rank sort",
+          np.array_equal(perm, np.argsort(x % 1000, kind="stable")))
+
+    v = rng.standard_normal(n).astype(np.float32)
+    sk, sv = rst.sort_pairs(jnp.asarray(x % 64), {"v": jnp.asarray(v)})
+    order = np.argsort(x % 64, kind="stable")
+    check("record sort (pytree payload)",
+          np.array_equal(np.asarray(sv["v"]), v[order]))
+
+    x64 = rng.integers(0, 1 << 64, size=n // 4, dtype=np.uint64)
+    out = np.asarray(rst.sort(x64), dtype=np.uint64)
+    check("64-bit keys (no x64)", np.array_equal(out, np.sort(x64)))
+
+    rows = jnp.asarray(x[: (n // 4096) * 4096].reshape(-1, 4096))
+    out = np.asarray(rst.sort_batched(rows))
+    check("batched rows", np.array_equal(out, np.sort(np.asarray(rows), -1)))
+
+    xlow = (rng.integers(0, 256, size=n, dtype=np.uint32) << 9).astype(np.uint32)
+    cfg = rst.SortConfig(dynamic_probe=True)
+    out = np.asarray(rst.sort(jnp.asarray(xlow), config=cfg))
+    check("dynamic probe (unpromised low entropy)",
+          np.array_equal(out, np.sort(xlow)))
+
+    tv, ti = top_k(xj, 10)
+    check("top_k", np.array_equal(np.asarray(tv), np.sort(x)[::-1][:10]))
+
+    a = np.sort(x[: n // 2])
+    b = np.sort(x[n // 2:])
+    out = np.asarray(merge_sorted(jnp.asarray(a), jnp.asarray(b)))
+    check("merge_sorted", np.array_equal(out, np.sort(x)))
+
+    mesh = make_sort_mesh(1)
+    sp, counts, ovf = distributed_sort_balanced_u32(xj, mesh)
+    check("distributed balanced (1-chip mesh)",
+          np.array_equal(gather_sorted(sp, counts, ovf), np.sort(x)))
+
+    ranks = [0, n // 2, n - 1]
+    got = np.asarray(distributed_select(xj, ranks, mesh))
+    check("distributed_select", np.array_equal(got, np.sort(x)[ranks]))
+
+    xu = rng.integers(0, 5000, size=n, dtype=np.uint32)
+    vals, counts, ovf = distributed_unique_sorted(jnp.asarray(xu), mesh)
+    check("distributed_unique_sorted",
+          np.array_equal(gather_sorted(vals, counts, ovf), np.unique(xu)))
+
+    print("ALL OK" if ok else "FAILURES PRESENT")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
