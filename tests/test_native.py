@@ -38,7 +38,9 @@ def test_native_is_sorted(rng, dtype):
     assert native.is_sorted(np.sort(x)[::-1].copy(), descending=True)
 
 
-@pytest.mark.parametrize("dtype", ["uint32", "int32", "uint64", "uint8", "float32"])
+@pytest.mark.parametrize("dtype", ["uint32", "int32", "uint64", "uint8",
+                                   "float32", "float64", "int64", "int16",
+                                   "uint16", "int8"])
 def test_oracle_matches_numpy(rng, dtype):
     d = np.dtype(dtype)
     if d.kind == "f":
