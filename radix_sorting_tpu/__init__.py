@@ -38,7 +38,7 @@ from .extras import (
 )
 from .ops.bitmap import bitmap_unique_sort
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "sort",
