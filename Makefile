@@ -8,7 +8,7 @@ TESTENV = PALLAS_AXON_POOL_IPS=
 
 all: native
 
-# build the native host runtime (`native/radix_rt.cpp`)
+# build the native host runtime (`radix_sorting_tpu/native/radix_rt.cpp`)
 native:
 	$(PY) -c "from radix_sorting_tpu.runtime import native; print('native:', native.available())"
 
@@ -29,7 +29,7 @@ genkeys:
 	$(PY) -c "from radix_sorting_tpu.utils import keyfile; keyfile.load_or_create(); print(keyfile.default_keyfile())"
 
 clean:
-	rm -rf native/build .pytest_cache
+	rm -rf radix_sorting_tpu/native/build .pytest_cache
 	find . -name __pycache__ -type d -exec rm -rf {} + 2>/dev/null || true
 
 help:

@@ -26,9 +26,9 @@ __all__ = [
     "oracle_rank",
 ]
 
-_REPO = Path(__file__).resolve().parents[2]
-_SRC = _REPO / "native" / "radix_rt.cpp"
-_BUILD = _REPO / "native" / "build"
+_PKG = Path(__file__).resolve().parents[1]
+_SRC = _PKG / "native" / "radix_rt.cpp"
+_BUILD = _PKG / "native" / "build"
 _LIB = _BUILD / "libradixrt.so"
 
 _lib: Optional[ctypes.CDLL] = None
