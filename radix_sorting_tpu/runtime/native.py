@@ -1,4 +1,4 @@
-"""ctypes bindings to the native host runtime (native/radix_rt.cpp).
+"""ctypes bindings to the native host runtime (radix_sorting_tpu/native/radix_rt.cpp).
 
 Builds the shared library on demand with g++ (cached by source mtime) — the
 framework's native components are real compiled code, matching the
