@@ -48,9 +48,9 @@ def _steady_ms(fn, x, reps):
             r = fn(c)
             # real data dependence (defeats DCE) that leaves the workload's
             # distribution intact: flip bit 0 of the input by an output bit.
-            # A strided sample XOR-reduced consumes output from EVERY region
-            # (for batched cases, one element of each row would otherwise be
-            # enough for XLA to discard the other rows' sorts).
+            # A ~4096-point strided sample XOR-reduced spreads the consumed
+            # output across the whole result (a single consumed element would
+            # leave more of the op vulnerable to slice-of-sort rewrites).
             flat = jnp.ravel(r)
             dep = jnp.bitwise_xor.reduce(flat[:: max(1, flat.size // 4096)])
             return c ^ (dep.astype(c.dtype) & c.dtype.type(1))

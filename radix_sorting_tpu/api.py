@@ -59,6 +59,8 @@ def _as_words(x, descending: bool, allow_nd: bool = False) -> Tuple[Tuple[jax.Ar
     splitting into hi/lo planes host-side.
     """
     if isinstance(x, np.ndarray) and x.dtype.itemsize == 8 and not jax.config.jax_enable_x64:
+        if x.ndim != 1 and not allow_nd:
+            raise ValueError(f"keys must be 1-D, got shape {x.shape}")
         hi, lo = kdf.split64_np(x)
         # Apply the 64-bit KDF rules on the planes (see ops/kdf.py).
         kind = np.dtype(x.dtype).kind

@@ -108,9 +108,11 @@ def unique_sorted(x, *, size: Optional[int] = None,
         # narrow unsigned domains: presence-histogram path, no sort at all
         return bitmap_unique_sort(jnp.asarray(xa), size=size)
 
-    s = api.sort(x, config=config)
     if n == 0:
-        return jnp.zeros((size,), jnp.asarray(s).dtype), jnp.int32(0)
+        if isinstance(xa, np.ndarray):  # preserve 64-bit dtypes without x64
+            return np.zeros((size,), xa.dtype), np.int32(0)
+        return jnp.zeros((size,), jnp.asarray(xa).dtype), jnp.int32(0)
+    s = api.sort(x, config=config)
     vals, _, count = _sorted_boundaries(s, size)
     return vals, count
 
@@ -217,10 +219,15 @@ def value_counts(x, *, size: Optional[int] = None,
     """
     from . import api
 
+    if np.ndim(x) != 1:
+        raise ValueError(f"keys must be 1-D, got shape {jnp.shape(x)}")
     n = int(jnp.shape(x)[0])
     if size is None:
         size = n
     if n == 0:
+        if isinstance(x, np.ndarray):  # preserve 64-bit dtypes without x64
+            return (np.zeros((size,), x.dtype), np.zeros((size,), np.int32),
+                    np.int32(0))
         d = jnp.asarray(x).dtype
         return jnp.zeros((size,), d), jnp.zeros((size,), jnp.int32), jnp.int32(0)
     return _sorted_boundaries(api.sort(x, config=config), size)

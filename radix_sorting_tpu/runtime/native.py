@@ -41,7 +41,12 @@ def _kind_of(dtype) -> int:
 
 
 def _build() -> bool:
-    _BUILD.mkdir(parents=True, exist_ok=True)
+    try:
+        # may fail on a read-only install (site-packages without write
+        # permission) — degrade to the numpy fallbacks, per the module contract
+        _BUILD.mkdir(parents=True, exist_ok=True)
+    except OSError:
+        return False
     cmd = [
         "g++", "-O2", "-std=c++17", "-shared", "-fPIC",
         str(_SRC), "-o", str(_LIB),

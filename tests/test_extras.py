@@ -128,3 +128,14 @@ def test_unique_sorted_rejects_2d():
         unique_sorted(jnp.zeros((3, 4), jnp.uint8))
     with pytest.raises(ValueError, match="1-D"):
         rst.value_counts(jnp.zeros((3, 4), jnp.uint32))
+
+
+def test_empty_and_2d_contracts_64bit():
+    from radix_sorting_tpu.extras import unique_sorted, value_counts
+    e = np.array([], np.uint64)
+    values, count = unique_sorted(e, size=4)
+    assert values.dtype == np.uint64 and int(count) == 0
+    vals, counts, k = value_counts(e, size=4)
+    assert vals.dtype == np.uint64 and int(k) == 0
+    with pytest.raises(ValueError, match="1-D"):
+        value_counts(np.zeros((3, 4), np.uint64))

@@ -286,3 +286,15 @@ def test_bool_keys(rng):
     sk, sv = rst.sort_pairs(jnp.asarray(x), jnp.asarray(v))
     order = np.argsort(x, kind="stable")
     assert np.array_equal(np.asarray(sv), v[order])
+
+
+def test_numpy_u64_2d_rejected():
+    # the numpy 64-bit _as_words branch must enforce 1-D like the jax branch
+    x = np.arange(12, dtype=np.uint64).reshape(3, 4)
+    with pytest.raises(ValueError, match="1-D"):
+        rst.sort(x)
+    with pytest.raises(ValueError, match="1-D"):
+        rst.argsort(x)
+    # batched entry points still accept N-D numpy u64
+    out = np.asarray(rst.sort_batched(x), dtype=np.uint64)
+    assert np.array_equal(out, np.sort(x, axis=-1))
