@@ -143,3 +143,13 @@ def test_scan_helpers(rng):
     ch = np.asarray(chunked_digit_histogram(jnp.asarray(d), 8, 4))
     for c in range(4):
         assert np.array_equal(ch[c], np.bincount(d[c * 16:(c + 1) * 16], minlength=8))
+
+
+def test_trace_smoke(tmp_path):
+    # the tracing subsystem (SURVEY §5 row 1): one traced block produces a
+    # profile artifact
+    from radix_sorting_tpu.utils import timing
+    with timing.trace(str(tmp_path)) as logdir:
+        np.asarray(rst.sort(jnp.arange(1024, dtype=jnp.uint32)))
+    import pathlib
+    assert any(pathlib.Path(logdir).rglob("*")), "no profile artifacts written"
