@@ -4,7 +4,7 @@
 PY ?= python
 TESTENV = PALLAS_AXON_POOL_IPS=
 
-.PHONY: all test bench bench-suite genkeys native clean help
+.PHONY: all test memcheck bench bench-suite genkeys native clean help parity-driver parity-check parity-check-quick
 
 all: native
 
@@ -16,6 +16,12 @@ native:
 test:
 	$(TESTENV) $(PY) -m pytest tests/ -x -q
 
+# sanitizer-analog pass (`MEMCHECK=1 make test` analog, Makefile:14-16):
+# checkify NaN/OOB/div checks over the engines at small sizes. Also part of
+# the plain `test` run — this target runs it alone, verbosely.
+memcheck:
+	$(TESTENV) $(PY) -m pytest tests/test_checkify.py -v
+
 # headline benchmark on the attached TPU (`make bench` analog, Makefile:57-58)
 bench:
 	$(PY) bench.py
@@ -23,6 +29,25 @@ bench:
 # full size-sweep suite + dated report (bench.sh analog)
 bench-suite:
 	$(PY) bench_suite.py --out report
+
+# --- bit-exact parity vs the ACTUAL reference implementation ---------------
+# REF points at the reference checkout; its header-only templates are
+# included at build time (no reference code is vendored into this repo).
+REF ?= /root/reference
+
+parity-driver: parity/ref_driver
+
+parity/ref_driver: parity/ref_driver.cpp
+	g++ -O2 -std=gnu++17 -fpermissive -I$(REF) $< -o $@
+
+# full-array byte-exact compare: 8 types x {no mask, 0xF0F00000} x fwd/rev
+# value sorts + all-type fwd/rev rank permutations (BASELINE.md target #1).
+# Exits nonzero on any mismatch.
+parity-check: parity/ref_driver
+	$(PY) scripts/parity_check.py
+
+parity-check-quick: parity/ref_driver
+	$(TESTENV) $(PY) scripts/parity_check.py --quick
 
 # create the 40M-key dataset (`make genkeys` analog, Makefile:79-82)
 genkeys:

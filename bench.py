@@ -55,9 +55,16 @@ def main() -> int:
     def steady(a):
         def body(i, carry):
             r = sort_once(carry)
-            # data dependence between iterations without changing the multiset:
-            # rotate by one element (keeps the input unsorted and uncacheable)
-            return jnp.roll(r, r[0].astype(jnp.int32) & 1 | 1)
+            # Chain iterations through a multiplicative scramble: an odd
+            # multiplier is a bijection mod 2^32, so every iteration sorts a
+            # fresh uniform-distributed array — the measurement stays honest
+            # even if a data-dependent path (e.g. the presorted guard) ever
+            # enters the headline engine. (A rotate-by-1 chain would feed
+            # nearly-sorted input after iteration 1 — valid only for
+            # data-oblivious engines.) Measured on the chip: both chains
+            # time identically for the oblivious sorter (71.6 vs 72.0 ms),
+            # so the robust form costs nothing.
+            return r * np.uint32(2654435761) + (r[-1] & np.uint32(1))
         return lax.fori_loop(0, K, body, a)
 
     # compile + warm

@@ -124,8 +124,10 @@ def main() -> int:
     rows = []
     for n in _sizes(args.quick):
         # enough in-jit iterations to amortize the ~170 ms tunnel round trip
-        # (google-benchmark style: more reps at smaller sizes)
-        reps = max(3, min(20, 20_000_000 // max(n, 1)))
+        # (google-benchmark style: more reps at smaller sizes). Floor of 10
+        # even at 40M: 3 reps leaves ~14% dispatch inflation in the number
+        # (measured: 80.2 ms at reps=3 vs 70.6 ms at K=20 for the same op).
+        reps = max(10, min(20, 20_000_000 // max(n, 1)))
         for name, (fn, mk) in cases.items():
             x = mk(n)
             if x is None:  # case inapplicable at this size (SkipWithError style)

@@ -93,8 +93,17 @@ def main(argv=None) -> int:
     else:
         x = jnp.asarray(x_np)
 
-    # one timed sort, wall clock closed by host readback
-    # (`clock_gettime(CLOCK_MONOTONIC_RAW)` analog, `radix_experiment.cpp:204-206`)
+    # The reference times ONLY the sort (`radix_experiment.cpp:204-206`) —
+    # allocation and file IO sit outside the clock. The JAX analog: the first
+    # call pays trace+compile (and H2D for host inputs), so it is reported
+    # separately as `first_call_ms`, and the comparable `ms` is a warm second
+    # call on the SAME input, closed by host readback (the monotonic-clock
+    # timed region equivalent).
+    t0 = time.perf_counter()
+    out = rst.sort(x, value_mask=mask)
+    out_np = np.asarray(out)
+    first_ms = (time.perf_counter() - t0) * 1e3
+
     t0 = time.perf_counter()
     out = rst.sort(x, value_mask=mask)
     out_np = np.asarray(out)
@@ -113,6 +122,7 @@ def main(argv=None) -> int:
         "type": tname,
         "mask": f"0x{mask:08X}" if mask is not None else None,
         "ms": round(dt_s * 1e3, 2),
+        "first_call_ms": round(first_ms, 2),
         "Mkeys_per_s": round(count / dt_s / 1e6, 1),
         "bytes_per_s": round(count * itemsize / dt_s, 0),
         "verified": bool(ok),

@@ -175,13 +175,18 @@ def _balanced_body(planes, axis_name, num_devices, num_key_planes, strict,
     out_counts = starts[1:] - starts[:-1]  # (D,), sums to n_local
 
     # 4. receive bookkeeping: one counts all-to-all tells every device how
-    # much arrives from each source (total is exactly n_local by construction)
+    # much arrives from each source. The composite is strict everywhere
+    # (including pad rows — `_run_balanced` pads the tiebreak plane with
+    # distinct values), so sum(recv_total) == n_local exactly; rounding each
+    # source up to whole chunks gives sum(padded) <= n_local + D*(c-1), and
+    # the accumulator A = n_local + (D+1)*c places the dustbin at
+    # A - c = n_local + D*c >= sum(padded), with >= D slack elements.
     recv_total = lax.all_to_all(out_counts, axis_name, split_axis=0,
                                 concat_axis=0, tiled=True)
     rounds_from = (recv_total + c - 1) // c
     padded = rounds_from * c
     acc_start = jnp.cumsum(padded) - padded
-    A = n_local + (D + 1) * c  # >= sum(padded) + dustbin chunk
+    A = n_local + (D + 1) * c  # >= sum(padded) + dustbin chunk (see above)
     dustbin = A - c
     acc0 = tuple(jnp.full((A,), _SENTINEL) for _ in range(nship))
 
@@ -233,7 +238,11 @@ def _check_selection_width(n_padded: int) -> None:
 
 
 def _run_balanced(planes, mesh, axis_name, num_key_planes, strict, chunk):
-    """Pad to D shards, shard_map the balanced body, return static counts."""
+    """Pad to D shards, shard_map the balanced body, return static counts.
+
+    Strict-mode convention: the LAST key plane (``planes[num_key_planes-1]``)
+    is the global-index tiebreak (all strict callers construct it that way).
+    """
     # Non-strict mode is keys-only by construction: the final merge sorts by
     # the key planes with the unstable network, which would scramble payload
     # rows among equal keys. Payload callers must ride the strict (index
@@ -247,8 +256,22 @@ def _run_balanced(planes, mesh, axis_name, num_key_planes, strict, chunk):
     _check_selection_width(n + (-n) % D)
     pad_total = (-n) % D
     if pad_total:
-        planes = tuple(jnp.concatenate([p, jnp.full((pad_total,), _SENTINEL)])
-                       for p in planes)
+        # Pad rows must (a) sort strictly after every real row and (b) keep
+        # the composite STRICT — the selection's exactness ("every device
+        # receives exactly n_local rows") assumes distinct composites. All-
+        # sentinel pad rows would tie with each other (and with real maximal
+        # keys), routing every pad row past the last pivot and overfilling
+        # device D-1's accumulator. So in strict mode the tiebreak plane pads
+        # with distinct values n..n+pad-1 — beyond every real index (< n),
+        # hence after all real rows, and pairwise distinct. (Non-strict mode
+        # is immune: the synthetic per-slot plane in the body is distinct.)
+        def _pad_fill(i: int) -> jax.Array:
+            if strict and i == num_key_planes - 1:
+                return jnp.arange(n, n + pad_total, dtype=jnp.uint32)
+            return jnp.full((pad_total,), _SENTINEL)
+
+        planes = tuple(jnp.concatenate([p, _pad_fill(i)])
+                       for i, p in enumerate(planes))
     n_local = (n + pad_total) // D
     counts = jnp.asarray(np.clip(n - np.arange(D) * n_local, 0, n_local)
                          .astype(np.int32))

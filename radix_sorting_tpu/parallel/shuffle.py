@@ -73,18 +73,27 @@ def make_sort_mesh(num_devices: Optional[int] = None, axis_name: str = "shards")
 def _device_of_bucket(global_hist: jax.Array, num_devices: int) -> jax.Array:
     """Assign each splitter bucket to a device, balancing exact global mass.
 
-    Bucket b goes to device floor(excl_cum[b] / (total / D)): contiguous
+    Bucket b goes to device floor(excl_cum[b] * D / total): contiguous
     ranges, monotone in b (which global sortedness requires), each device's
     load within one bucket's mass of n/D. Deterministic and replicated — every
     device computes the identical table from the psum'd histogram, no host
-    sync. float32 division keeps monotonicity (floor of a monotone map); its
-    rounding can only shift a bucket by one device, never reorder ranges.
+    sync.
+
+    All arithmetic is *exact* int32 (x64 is off by default): the device of
+    bucket b is the number of thresholds t_d = ceil(total*d/D), d=1..D-1,
+    that excl_cum[b] reaches. With total = q*D + rem (rem < D),
+    t_d = q*d + ceil(rem*d/D); both terms fit int32 for any total < 2^31
+    and any D, so — unlike a float32 division, which loses integer precision
+    above ~2^24 — boundaries are exact at every supported n.
     """
     counts = global_hist
-    excl = (jnp.cumsum(counts) - counts).astype(jnp.float32)
-    total = jnp.maximum(jnp.sum(counts), 1).astype(jnp.float32)
-    dev = jnp.floor(excl * (float(num_devices) / 1.0) / total)
-    return jnp.clip(dev.astype(jnp.int32), 0, num_devices - 1)
+    excl = jnp.cumsum(counts) - counts                       # (B,) int32
+    total = jnp.maximum(jnp.sum(counts), 1)
+    d = jnp.arange(1, num_devices, dtype=jnp.int32)          # (D-1,)
+    q, rem = total // num_devices, total % num_devices
+    thresh = q * d + (rem * d + num_devices - 1) // num_devices
+    dev = jnp.sum((excl[:, None] >= thresh[None, :]).astype(jnp.int32), axis=1)
+    return dev
 
 
 def _shard_body(planes, axis_name, num_devices, splitter_bits, capacity_per_peer,

@@ -327,3 +327,32 @@ def test_distributed_select_bounds(rng, mesh):
     mesh1 = make_sort_mesh(1)
     got = np.asarray(distributed_select(x, [0, 50, 99], mesh1))
     assert np.array_equal(got, [0, 50, 99])
+
+
+def test_balanced_argsort_ragged_maximal_keys(rng, mesh):
+    # Adversarial strict-mode padding case: n not a multiple of D AND every
+    # real key is the sentinel value. Pad rows must carry DISTINCT tiebreak
+    # values (not all-sentinel composites) so the quantile targets inside the
+    # pad run stay exact and device D-1's accumulator never overfills.
+    D = mesh.shape["shards"]
+    n = (1 << 12) + D - 1  # maximal pad (D-1 pad rows)
+    x = np.full(n, 0xFFFFFFFF, np.uint32)
+    sk, perm, counts, ovf = distributed_argsort_balanced_u32(
+        jnp.asarray(x), mesh, chunk=17)
+    assert np.array_equal(gather_sorted(perm, counts, ovf),
+                          np.arange(n, dtype=np.uint32))
+    assert np.array_equal(gather_sorted(sk, counts, ovf), x)
+
+
+def test_balanced_pairs_ragged_tie_tail(rng, mesh):
+    # ragged n with a tied maximal tail: stability across the pad boundary
+    D = mesh.shape["shards"]
+    n = (1 << 12) + 3
+    x = rng.integers(0, 16, size=n, dtype=np.uint32)
+    x[-200:] = 0xFFFFFFFF
+    payload = rng.integers(0, 1 << 32, size=n, dtype=np.uint32)
+    order = np.argsort(x, kind="stable")
+    sk, pl, counts, ovf = distributed_sort_pairs_balanced_u32(
+        jnp.asarray(x), jnp.asarray(payload), mesh)
+    assert np.array_equal(gather_sorted(sk, counts, ovf), x[order])
+    assert np.array_equal(gather_sorted(pl, counts, ovf), payload[order])

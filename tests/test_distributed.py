@@ -210,3 +210,25 @@ def test_distributed_pairs_all_equal_exact(rng, mesh):
         jnp.asarray(x), jnp.asarray(payload), mesh, exact=True)
     payload_sorted = gather_sorted(pl, counts, ovf)
     assert np.array_equal(payload_sorted, payload)
+
+
+def test_device_of_bucket_exact_at_large_n(rng):
+    # `_device_of_bucket` must stay exact for totals approaching 2^31
+    # (int32 threshold arithmetic; a float32 formulation loses integer
+    # precision above ~2^24 and can shift bucket->device boundaries).
+    from radix_sorting_tpu.parallel.shuffle import _device_of_bucket
+
+    B = 4096
+    for D in (2, 8, 64):
+        for total in (2**31 - 1, 2**31 - B, 2**24 + 17, 1000):
+            base = total // B
+            hist = np.full(B, base, np.int64)
+            hist[: total - base * B] += 1
+            rng.shuffle(hist)
+            assert hist.sum() == total
+            dev = np.asarray(_device_of_bucket(jnp.asarray(hist, jnp.int32), D))
+            excl = np.cumsum(hist) - hist
+            expect = np.minimum(excl * D // total, D - 1)  # int64 oracle
+            assert np.array_equal(dev, expect), (D, total)
+            # contract: monotone, starts at 0, loads within one bucket of n/D
+            assert dev[0] == 0 and np.all(np.diff(dev) >= 0)
