@@ -12,8 +12,10 @@ from .balanced import (  # noqa: F401
 )
 from .histogram import global_digit_histogram, global_live_bit_mask  # noqa: F401
 from .shuffle import (  # noqa: F401
+    distributed_argsort,
     distributed_argsort_u32,
     distributed_sort,
+    distributed_sort_pairs,
     distributed_sort_pairs_u32,
     distributed_sort_u32,
     gather_sorted,

@@ -134,13 +134,21 @@ def _select_pivots(part_sorted, targets, axis_name, n_local: int):
 
 
 def _balanced_body(planes, axis_name, num_devices, num_key_planes, strict,
-                   chunk, n_local):
+                   chunk, n_local, overlap=False):
     """Per-shard SPMD body. planes = key planes (MSW first) + payload planes.
 
     strict=True means the key planes alone form a strict total order (rank and
     record sorts carry the global-index plane); otherwise a synthetic
     global-slot plane joins the local sort and the partition but is not
     shipped.
+
+    overlap=True double-buffers the multi-round exchange: iteration r places
+    round r's received chunks while the all_to_all for round r+1 is already
+    in flight (the collective depends only on the sorted shard and the round
+    index, never on the accumulator, so the scheduler is free to run them
+    concurrently — SURVEY §7 hard part #3). Costs one extra (empty,
+    sentinel-only) exchange round of traffic; only measurable on hardware
+    with async collectives, but structurally ready and result-identical.
     """
     D = num_devices
     c = chunk
@@ -194,15 +202,19 @@ def _balanced_body(planes, axis_name, num_devices, num_key_planes, strict,
     num_rounds = (gmax + c - 1) // c
     j = jnp.arange(c, dtype=jnp.int32)
 
-    def round_body(r, acc):
+    def exchange(r):
+        """Gather + all_to_all round r's chunks. Depends only on the sorted
+        shard and r — never on the accumulator — which is what lets the
+        overlap mode run it concurrently with placement."""
         this_count = jnp.clip(out_counts - r * c, 0, c)              # (D,)
         idx = jnp.clip(out_starts[:, None] + r * c + j[None, :], 0, n_local - 1)
         valid = j[None, :] < this_count[:, None]
         send = jnp.stack([jnp.where(valid, jnp.take(p, idx), _SENTINEL)
                           for p in shipped])                         # (P, D, c)
-        recv = lax.all_to_all(send, axis_name, split_axis=1, concat_axis=1,
+        return lax.all_to_all(send, axis_name, split_axis=1, concat_axis=1,
                               tiled=True)
 
+    def place(r, recv, acc):
         # place each source's chunk at its reserved offset; a traced loop over
         # sources keeps the program size O(1) in D (pod-scale meshes)
         def write_source(s, acc_t):
@@ -217,7 +229,21 @@ def _balanced_body(planes, axis_name, num_devices, num_key_planes, strict,
 
         return lax.fori_loop(0, D, write_source, acc)
 
-    acc = lax.fori_loop(0, num_rounds, round_body, acc0)
+    if overlap:
+        # software pipeline: recv for round r in hand, all_to_all for r+1
+        # issued before placing r (round num_rounds prefetches an all-empty
+        # sentinel exchange that is never placed)
+        def round_body(r, carry):
+            acc, recv_r = carry
+            recv_next = exchange(r + 1)
+            return place(r, recv_r, acc), recv_next
+
+        acc, _ = lax.fori_loop(0, num_rounds, round_body, (acc0, exchange(0)))
+    else:
+        def round_body(r, acc):
+            return place(r, exchange(r), acc)
+
+        acc = lax.fori_loop(0, num_rounds, round_body, acc0)
 
     # 5. final local order; sentinel filler sorts to the tail, and exactly
     # n_local received rows are valid, so the head slice is the shard
@@ -237,7 +263,8 @@ def _check_selection_width(n_padded: int) -> None:
         )
 
 
-def _run_balanced(planes, mesh, axis_name, num_key_planes, strict, chunk):
+def _run_balanced(planes, mesh, axis_name, num_key_planes, strict, chunk,
+                  overlap=False):
     """Pad to D shards, shard_map the balanced body, return static counts.
 
     Strict-mode convention: the LAST key plane (``planes[num_key_planes-1]``)
@@ -296,6 +323,7 @@ def _run_balanced(planes, mesh, axis_name, num_key_planes, strict, chunk):
         strict=strict,
         chunk=chunk,
         n_local=n_local,
+        overlap=overlap,
     )
     nplanes = len(planes)
     mapped = jax.shard_map(
@@ -308,12 +336,13 @@ def _run_balanced(planes, mesh, axis_name, num_key_planes, strict, chunk):
     return mapped(*planes), counts, overflow
 
 
-@partial(jax.jit, static_argnames=("mesh", "axis_name", "chunk"))
+@partial(jax.jit, static_argnames=("mesh", "axis_name", "chunk", "overlap"))
 def distributed_sort_balanced_u32(
     x: jax.Array,
     mesh: Mesh,
     axis_name: str = "shards",
     chunk: Optional[int] = None,
+    overlap: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Keys-only balanced distributed sort of a u32 array over a 1-D mesh.
 
@@ -326,16 +355,18 @@ def distributed_sort_balanced_u32(
     identically zero.
     """
     (sp,), counts, overflow = _run_balanced(
-        (x,), mesh, axis_name, num_key_planes=1, strict=False, chunk=chunk)
+        (x,), mesh, axis_name, num_key_planes=1, strict=False, chunk=chunk,
+        overlap=overlap)
     return sp, counts, overflow
 
 
-@partial(jax.jit, static_argnames=("mesh", "axis_name", "chunk"))
+@partial(jax.jit, static_argnames=("mesh", "axis_name", "chunk", "overlap"))
 def distributed_argsort_balanced_u32(
     x: jax.Array,
     mesh: Mesh,
     axis_name: str = "shards",
     chunk: Optional[int] = None,
+    overlap: bool = False,
 ):
     """Balanced distributed stable rank sort (argsort) of a u32 array.
 
@@ -346,17 +377,19 @@ def distributed_argsort_balanced_u32(
     n = x.shape[0]
     idx = jnp.arange(n, dtype=jnp.uint32)
     (sk, sp), counts, overflow = _run_balanced(
-        (x, idx), mesh, axis_name, num_key_planes=2, strict=True, chunk=chunk)
+        (x, idx), mesh, axis_name, num_key_planes=2, strict=True, chunk=chunk,
+        overlap=overlap)
     return sk, sp, counts, overflow
 
 
-@partial(jax.jit, static_argnames=("mesh", "axis_name", "chunk"))
+@partial(jax.jit, static_argnames=("mesh", "axis_name", "chunk", "overlap"))
 def distributed_sort_pairs_balanced_u32(
     x: jax.Array,
     payload: jax.Array,
     mesh: Mesh,
     axis_name: str = "shards",
     chunk: Optional[int] = None,
+    overlap: bool = False,
 ):
     """Balanced distributed stable record sort: u32 keys + one u32 payload plane.
 
@@ -366,7 +399,7 @@ def distributed_sort_pairs_balanced_u32(
     idx = jnp.arange(n, dtype=jnp.uint32)
     (sk, _, pl), counts, overflow = _run_balanced(
         (x, idx, payload.astype(jnp.uint32)), mesh, axis_name,
-        num_key_planes=2, strict=True, chunk=chunk)
+        num_key_planes=2, strict=True, chunk=chunk, overlap=overlap)
     return sk, pl, counts, overflow
 
 
@@ -376,6 +409,7 @@ def distributed_sort_balanced(
     axis_name: str = "shards",
     descending: bool = False,
     chunk: Optional[int] = None,
+    overlap: bool = False,
 ):
     """Dtype-generic balanced distributed sort: any supported dtype, either order.
 
@@ -389,7 +423,7 @@ def distributed_sort_balanced(
     words, dtype = _as_words(x, descending)
     out_words, counts, overflow = _run_balanced(
         tuple(words), mesh, axis_name, num_key_planes=len(words),
-        strict=False, chunk=chunk)
+        strict=False, chunk=chunk, overlap=overlap)
     vals = _decode(tuple(out_words), dtype, descending)
     return vals, counts, overflow
 
@@ -399,44 +433,10 @@ def distributed_sort_balanced(
 #
 # Payload planes are *value-preserving* u32 encodings (bitcasts / zero
 # extensions with exact inverses) — unlike key planes they carry no order
-# semantics, they just have to survive the exchange bit-exactly.
+# semantics, they just have to survive the exchange bit-exactly. The codec
+# is shared with the shuffle backend (`._payload`).
 
-
-def _payload_to_words(a) -> Tuple[Tuple[jax.Array, ...], Tuple]:
-    """Encode one payload leaf into u32 planes with an exact inverse."""
-    if isinstance(a, np.ndarray) and a.dtype.itemsize == 8 and not jax.config.jax_enable_x64:
-        from ..ops.kdf import split64_np
-        return split64_np(a), (np.dtype(a.dtype), True)
-    a = jnp.asarray(a)
-    d = jnp.dtype(a.dtype)
-    if d.itemsize == 8:
-        from ..ops.kdf import _split64
-        return _split64(a), (d, True)
-    if d.itemsize == 4:
-        return (lax.bitcast_convert_type(a, jnp.uint32),), (d, False)
-    # 1- and 2-byte leaves (incl. bool and half floats): zero-extend via the
-    # same-width unsigned view
-    if d == jnp.bool_:
-        return (a.astype(jnp.uint32),), (d, False)
-    u = lax.bitcast_convert_type(a, jnp.dtype(f"uint{d.itemsize * 8}"))
-    return (u.astype(jnp.uint32),), (d, False)
-
-
-def _payload_from_words(words, meta):
-    d, is64 = meta
-    if is64:
-        hi, lo = words
-        if isinstance(d, np.dtype) and not jax.config.jax_enable_x64:
-            from ..ops.kdf import join64_np
-            return join64_np(hi, lo, d)
-        from ..ops.kdf import _join64
-        return _join64(hi, lo, d)
-    (w,) = words
-    if d == jnp.bool_:
-        return w.astype(jnp.bool_)
-    if d.itemsize == 4:
-        return lax.bitcast_convert_type(w, d)
-    return lax.bitcast_convert_type(w.astype(jnp.dtype(f"uint{d.itemsize * 8}")), d)
+from ._payload import encode_payload_tree, decode_payload_tree
 
 
 def distributed_argsort_balanced(
@@ -445,6 +445,7 @@ def distributed_argsort_balanced(
     axis_name: str = "shards",
     descending: bool = False,
     chunk: Optional[int] = None,
+    overlap: bool = False,
 ):
     """Dtype-generic balanced distributed stable rank sort.
 
@@ -458,7 +459,8 @@ def distributed_argsort_balanced(
     idx = jnp.arange(n, dtype=jnp.uint32)
     out, counts, overflow = _run_balanced(
         tuple(words) + (idx,), mesh, axis_name,
-        num_key_planes=len(words) + 1, strict=True, chunk=chunk)
+        num_key_planes=len(words) + 1, strict=True, chunk=chunk,
+        overlap=overlap)
     vals = _decode(tuple(out[: len(words)]), dtype, descending)
     return vals, out[len(words)], counts, overflow
 
@@ -470,6 +472,7 @@ def distributed_sort_pairs_balanced(
     axis_name: str = "shards",
     descending: bool = False,
     chunk: Optional[int] = None,
+    overlap: bool = False,
 ):
     """Dtype-generic balanced distributed stable record sort.
 
@@ -483,24 +486,13 @@ def distributed_sort_pairs_balanced(
     words, dtype = _as_words(keys, descending)
     n = int(words[0].shape[0])
     idx = jnp.arange(n, dtype=jnp.uint32)
-    leaves, treedef = jax.tree.flatten(values)
-    enc = [_payload_to_words(leaf) for leaf in leaves]
-    payload_planes = tuple(p for planes, _ in enc for p in planes)
-    for p in payload_planes:
-        if p.shape[0] != n:
-            raise ValueError("payload leaves must share the key length")
+    payload_planes, ctx = encode_payload_tree(values, n)
     nk = len(words) + 1
     out, counts, overflow = _run_balanced(
         tuple(words) + (idx,) + payload_planes, mesh, axis_name,
-        num_key_planes=nk, strict=True, chunk=chunk)
+        num_key_planes=nk, strict=True, chunk=chunk, overlap=overlap)
     sorted_keys = _decode(tuple(out[: len(words)]), dtype, descending)
-    rest = list(out[nk:])
-    dec = []
-    for planes, meta in enc:
-        k = len(planes)
-        dec.append(_payload_from_words(tuple(rest[:k]), meta))
-        rest = rest[k:]
-    return sorted_keys, jax.tree.unflatten(treedef, dec), counts, overflow
+    return (sorted_keys, decode_payload_tree(out[nk:], ctx), counts, overflow)
 
 
 # ---------------------------------------------------------------------------

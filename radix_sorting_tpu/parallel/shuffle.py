@@ -52,6 +52,8 @@ from ..ops import kdf
 
 __all__ = [
     "distributed_sort",
+    "distributed_argsort",
+    "distributed_sort_pairs",
     "distributed_sort_u32",
     "distributed_argsort_u32",
     "distributed_sort_pairs_u32",
@@ -353,20 +355,12 @@ def distributed_sort(
     from the sentinel key and must be dropped via counts (use
     :func:`gather_sorted` on the *decoded* array).
     """
-    _ALLOWED = {"balanced": {"chunk"}, "shuffle": {"splitter_bits", "slack", "exact"}}
-    if method not in _ALLOWED:
-        raise ValueError(f"unknown method {method!r}; 'balanced' or 'shuffle'")
-    stray = set(kw) - _ALLOWED[method]
-    if stray:
-        raise TypeError(
-            f"method={method!r} does not accept {sorted(stray)}; "
-            f"valid options: {sorted(_ALLOWED[method])} "
-            "(the balanced partition needs no exact/slack escape hatches)"
-        )
+    _check_method_kwargs(method, kw)
     if method == "balanced":
         from .balanced import distributed_sort_balanced
         return distributed_sort_balanced(
-            x, mesh, axis_name, descending=descending, chunk=kw.get("chunk"))
+            x, mesh, axis_name, descending=descending, chunk=kw.get("chunk"),
+            overlap=kw.get("overlap", False))
     from ..api import _as_words, _decode
     words, dtype = _as_words(x, descending)
     if len(words) == 1:
@@ -407,6 +401,92 @@ def distributed_sort_pairs_u32(
         (x, idx, payload.astype(jnp.uint32)), mesh, axis_name, splitter_bits,
         slack, exact, num_key_planes=2)
     return sk, pl, counts, overflow
+
+
+def distributed_argsort(
+    x,
+    mesh: Mesh,
+    axis_name: str = "shards",
+    descending: bool = False,
+    method: str = "balanced",
+    **kw,
+):
+    """Dtype-generic distributed stable rank sort, either exchange backend.
+
+    Returns (sorted_values_padded, perm_padded, counts, overflow); the
+    permutation is exactly the unique stable one for the requested order
+    (global-index tiebreak plane, `radix_sort_rank.hpp:97-112` semantics).
+    ``method`` as in :func:`distributed_sort`; shuffle-path kwargs
+    (splitter_bits/slack/exact) and balanced kwargs (chunk/overlap) apply to
+    their respective backends. With 64-bit keys the shuffle partitions on the
+    high word only (skew on a constant high word degrades balance, never
+    correctness); the balanced path partitions on the full composite.
+    """
+    _check_method_kwargs(method, kw)
+    if method == "balanced":
+        from .balanced import distributed_argsort_balanced
+        return distributed_argsort_balanced(x, mesh, axis_name,
+                                            descending=descending, **kw)
+    from ..api import _as_words, _decode
+    words, dtype = _as_words(x, descending)
+    n = int(words[0].shape[0])
+    idx = jnp.arange(n, dtype=jnp.uint32)
+    out, counts, overflow = _run_shuffle(
+        tuple(words) + (idx,), mesh, axis_name,
+        kw.get("splitter_bits", 12), kw.get("slack", 0.5),
+        kw.get("exact", False), num_key_planes=len(words) + 1)
+    vals = _decode(tuple(out[: len(words)]), dtype, descending)
+    return vals, out[len(words)], counts, overflow
+
+
+def distributed_sort_pairs(
+    keys,
+    values,
+    mesh: Mesh,
+    axis_name: str = "shards",
+    descending: bool = False,
+    method: str = "balanced",
+    **kw,
+):
+    """Dtype-generic distributed stable record sort, either exchange backend.
+
+    ``values`` is a pytree of 1-D arrays of any fixed-width dtype (64-bit
+    leaves ride as two planes, bitcast-exact). Stability comes from the
+    global-index tiebreak plane on both backends. Returns
+    (sorted_keys_padded, permuted_values_padded, counts, overflow); padding
+    rows decode from sentinel bits and must be dropped via counts.
+    """
+    _check_method_kwargs(method, kw)
+    if method == "balanced":
+        from .balanced import distributed_sort_pairs_balanced
+        return distributed_sort_pairs_balanced(keys, values, mesh, axis_name,
+                                               descending=descending, **kw)
+    from ..api import _as_words, _decode
+    from ._payload import decode_payload_tree, encode_payload_tree
+    words, dtype = _as_words(keys, descending)
+    n = int(words[0].shape[0])
+    idx = jnp.arange(n, dtype=jnp.uint32)
+    payload_planes, ctx = encode_payload_tree(values, n)
+    nk = len(words) + 1
+    out, counts, overflow = _run_shuffle(
+        tuple(words) + (idx,) + payload_planes, mesh, axis_name,
+        kw.get("splitter_bits", 12), kw.get("slack", 0.5),
+        kw.get("exact", False), num_key_planes=nk)
+    sorted_keys = _decode(tuple(out[: len(words)]), dtype, descending)
+    return (sorted_keys, decode_payload_tree(out[nk:], ctx), counts, overflow)
+
+
+def _check_method_kwargs(method: str, kw) -> None:
+    _ALLOWED = {"balanced": {"chunk", "overlap"},
+                "shuffle": {"splitter_bits", "slack", "exact"}}
+    if method not in _ALLOWED:
+        raise ValueError(f"unknown method {method!r}; 'balanced' or 'shuffle'")
+    stray = set(kw) - _ALLOWED[method]
+    if stray:
+        raise TypeError(
+            f"method={method!r} does not accept {sorted(stray)}; "
+            f"valid options: {sorted(_ALLOWED[method])} "
+            "(the balanced partition needs no exact/slack escape hatches)")
 
 
 def gather_sorted(sorted_padded: jax.Array, counts: jax.Array,

@@ -356,3 +356,38 @@ def test_balanced_pairs_ragged_tie_tail(rng, mesh):
         jnp.asarray(x), jnp.asarray(payload), mesh)
     assert np.array_equal(gather_sorted(sk, counts, ovf), x[order])
     assert np.array_equal(gather_sorted(pl, counts, ovf), payload[order])
+
+
+def test_balanced_overlap_mode_identical(rng, mesh):
+    # double-buffered (compute/comm overlap) exchange must be result-identical
+    # to the phase-sequential rounds, including multi-round + ragged cases
+    n = (1 << 14) + 1237
+    x = rng.integers(0, 1 << 32, size=n, dtype=np.uint32)
+    x[:50] = 0xFFFFFFFF
+    for chunk in (None, 37):
+        a, ca, _ = distributed_sort_balanced_u32(jnp.asarray(x), mesh,
+                                                 chunk=chunk, overlap=False)
+        b, cb, _ = distributed_sort_balanced_u32(jnp.asarray(x), mesh,
+                                                 chunk=chunk, overlap=True)
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+        assert np.array_equal(np.asarray(ca), np.asarray(cb))
+        assert np.array_equal(gather_sorted(b, cb), np.sort(x))
+
+
+def test_balanced_overlap_pairs_and_generic(rng, mesh):
+    from radix_sorting_tpu.parallel import distributed_sort_pairs_balanced
+    n = (1 << 13) + 3
+    x = rng.integers(0, 64, size=n, dtype=np.uint32).astype(np.int32)
+    payload = {"a": rng.standard_normal(n).astype(np.float32),
+               "b": rng.integers(0, 1 << 16, size=n, dtype=np.uint16)}
+    order = np.argsort(x, kind="stable")
+    sk, pv, counts, ovf = distributed_sort_pairs_balanced(
+        x, payload, mesh, chunk=29, overlap=True)
+    assert np.array_equal(gather_sorted(jnp.asarray(sk).view(jnp.uint32),
+                                        counts).view(np.int32), x[order])
+    assert np.array_equal(
+        gather_sorted(jnp.asarray(pv["a"]).view(jnp.uint32), counts)
+        .view(np.float32), payload["a"][order])
+    assert np.array_equal(
+        gather_sorted(jnp.asarray(pv["b"]).astype(jnp.uint32), counts)
+        .astype(np.uint16), payload["b"][order])

@@ -232,3 +232,63 @@ def test_device_of_bucket_exact_at_large_n(rng):
             assert np.array_equal(dev, expect), (D, total)
             # contract: monotone, starts at 0, loads within one bucket of n/D
             assert dev[0] == 0 and np.all(np.diff(dev) >= 0)
+
+
+def test_distributed_pairs_generic_shuffle(rng, mesh):
+    # shuffle-path record sort with a pytree payload + non-u32 keys
+    from radix_sorting_tpu.parallel import distributed_sort_pairs
+    n = (1 << 14) + 77
+    x = rng.standard_normal(n).astype(np.float32)
+    payload = {"w": rng.integers(0, 1 << 64, size=n, dtype=np.uint64),
+               "b": rng.integers(0, 2, size=n).astype(bool),
+               "h": rng.standard_normal(n).astype(np.float16)}
+    order = np.argsort(x, kind="stable")
+    sk, pv, counts, ovf = distributed_sort_pairs(
+        jnp.asarray(x), payload, mesh, method="shuffle", exact=True)
+    assert int(np.asarray(ovf)[0]) == 0
+    keys_g = gather_sorted(jnp.asarray(sk).view(jnp.uint32), counts, ovf)
+    assert np.array_equal(keys_g.view(np.float32), x[order])
+    w = np.asarray(pv["w"], dtype=np.uint64)
+    D = np.asarray(counts).shape[0]
+    wg = np.concatenate([w.reshape(D, -1)[d, : np.asarray(counts)[d]]
+                         for d in range(D)])
+    assert np.array_equal(wg, payload["w"][order])
+    bg = gather_sorted(jnp.asarray(pv["b"]).astype(jnp.uint32), counts)
+    assert np.array_equal(bg.astype(bool), payload["b"][order])
+    hg = gather_sorted(jnp.asarray(pv["h"]).view(jnp.uint16), counts)
+    assert np.array_equal(hg, payload["h"][order].view(np.uint16))
+
+
+def test_distributed_argsort_generic_both_methods(rng, mesh):
+    from radix_sorting_tpu.parallel import distributed_argsort
+    n = 1 << 14
+    x = rng.integers(-100, 100, size=n, dtype=np.int64)  # ties + 2-plane keys
+    expect = np.argsort(x, kind="stable").astype(np.uint32)
+    expect_desc = np.argsort(-x, kind="stable").astype(np.uint32)
+    for method, kw in (("balanced", {"chunk": 41}),
+                       ("shuffle", {"exact": True})):
+        vals, perm, counts, ovf = distributed_argsort(
+            x, mesh, method=method, **kw)
+        assert np.array_equal(gather_sorted(perm, counts), expect), method
+        vals, perm, counts, ovf = distributed_argsort(
+            x, mesh, descending=True, method=method, **kw)
+        assert np.array_equal(gather_sorted(perm, counts), expect_desc), method
+
+
+def test_distributed_pairs_shuffle_skew_overflow_detected(rng, mesh):
+    # the shuffle path must still DETECT capacity overflow with payloads
+    from radix_sorting_tpu.parallel import distributed_sort_pairs
+    n = 1 << 14
+    x = np.full(n, 3, np.uint32)
+    x[: n // 8] = rng.integers(0, 1 << 32, size=n // 8, dtype=np.uint32)
+    payload = rng.integers(0, 1 << 32, size=n, dtype=np.uint32)
+    sk, pv, counts, ovf = distributed_sort_pairs(
+        jnp.asarray(x), payload, mesh, method="shuffle", slack=0.0)
+    if int(np.asarray(ovf)[0]) != 0:
+        with pytest.raises(RuntimeError, match="capacity"):
+            gather_sorted(sk, counts, ovf)
+    # exact mode is the always-correct fallback
+    sk, pv, counts, ovf = distributed_sort_pairs(
+        jnp.asarray(x), payload, mesh, method="shuffle", exact=True)
+    order = np.argsort(x, kind="stable")
+    assert np.array_equal(gather_sorted(pv, counts, ovf), payload[order])
