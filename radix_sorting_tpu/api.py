@@ -401,6 +401,14 @@ def _restore_axis(x, axis: int):
     return mv(x, -1, axis)
 
 
+
+def _single_batch(xm) -> bool:
+    """True when the batch collapses to one row. A (1, n) `lax.sort` along
+    dimension 1 lowers ~6x slower than the identical 1-D sort (measured
+    86 vs 530 Mkeys/s at 40M on v5e — scripts/exp_gather_round2.py), so the
+    batched entry points reshape degenerate batches to 1-D."""
+    return int(np.prod(xm.shape[:-1])) == 1
+
 def sort_batched(x, *, axis: int = -1, config: SortConfig = DEFAULT_CONFIG):
     """Independently sort every 1-D slice of ``x`` along ``axis``.
 
@@ -408,6 +416,9 @@ def sort_batched(x, *, axis: int = -1, config: SortConfig = DEFAULT_CONFIG):
     ``config.descending``. One fused device sort over the whole batch.
     """
     xm, axis = _moveaxis_last(x, axis)
+    if _single_batch(xm):
+        out = sort(xm.reshape(-1), config=config)
+        return _restore_axis(out.reshape(xm.shape), axis)
     words, dtype = _as_words(xm, config.descending, allow_nd=True)
     dim = words[0].ndim - 1
     sw = lax.sort(tuple(words), dimension=dim, is_stable=False,
@@ -423,6 +434,9 @@ def argsort_batched(x, *, axis: int = -1, config: SortConfig = DEFAULT_CONFIG,
     resolve to the lower index, the unique stable permutation per row.
     """
     xm, axis = _moveaxis_last(x, axis)
+    if _single_batch(xm):
+        out = argsort(xm.reshape(-1), config=config, index_dtype=index_dtype)
+        return _restore_axis(out.reshape(xm.shape), axis)
     words, _ = _as_words(xm, config.descending, allow_nd=True)
     dim = words[0].ndim - 1
     _check_index_width(int(words[0].shape[dim]), index_dtype)
@@ -451,6 +465,14 @@ def sort_pairs_batched(keys, values, *, axis: int = -1,
         if tuple(la.shape) != key_shape:
             raise ValueError("payload leaves must match the keys' shape")
         moved.append(_moveaxis_last(la, axis)[0])
+    if _single_batch(km):
+        shp = km.shape
+        sk, sv = sort_pairs(
+            km.reshape(-1),
+            jax.tree.unflatten(treedef, [m.reshape(-1) for m in moved]),
+            config=config)
+        return (_restore_axis(sk.reshape(shp), axis),
+                jax.tree.map(lambda p: _restore_axis(p.reshape(shp), axis), sv))
     out = lax.sort(tuple(words) + tuple(moved), dimension=dim, is_stable=True,
                    num_keys=len(words))
     sw, sp = out[: len(words)], out[len(words):]

@@ -244,3 +244,19 @@ def test_index_width_guards(rng):
         top_k(x, 3, index_dtype=jnp.uint16)
     with pytest.raises(ValueError, match="cannot index"):
         segmented_argsort(x, jnp.zeros_like(x), index_dtype=jnp.uint16)
+
+
+def test_batched_single_row_fast_path(rng):
+    # degenerate 1-batch inputs take the 1-D lowering (6x faster on TPU,
+    # measured in scripts/exp_gather_round2.py); results must be identical
+    x = rng.integers(0, 1 << 32, size=(1, 4096), dtype=np.uint32)
+    assert np.array_equal(np.asarray(rst.sort_batched(jnp.asarray(x))),
+                          np.sort(x, axis=1))
+    assert np.array_equal(np.asarray(rst.argsort_batched(jnp.asarray(x))),
+                          np.argsort(x, axis=1, kind="stable"))
+    xc = rng.integers(0, 8, size=(4096, 1), dtype=np.uint32)  # ties, axis 0
+    p = rng.integers(0, 1 << 32, size=(4096, 1), dtype=np.uint32)
+    sk, sv = rst.sort_pairs_batched(jnp.asarray(xc), p, axis=0)
+    order = np.argsort(xc[:, 0], kind="stable")
+    assert np.array_equal(np.asarray(sk)[:, 0], xc[order, 0])
+    assert np.array_equal(np.asarray(sv)[:, 0], p[order, 0])
