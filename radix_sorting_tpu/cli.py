@@ -46,21 +46,23 @@ def _parse(argv):
         raise SystemExit(0)
     count = int(argv[0])
     rest = argv[1:]
+    use_mmap = False
     # accept the reference's positional (use_mmap, use_huge) pair if present
     if len(rest) >= 2 and rest[0] in ("0", "1") and rest[1] in ("0", "1"):
-        if rest[0] == "1" or rest[1] == "1":
-            print("# note: mmap/hugepage flags are host-allocator knobs; "
+        use_mmap = rest[0] == "1"
+        if rest[1] == "1":
+            print("# note: hugepage placement is a host-allocator knob; "
                   "keys live in HBM on TPU (accepted, ignored)")
         rest = rest[2:]
     tname = rest[0] if rest else "u32"
     if tname not in _TYPES:
         sys.exit(f"unknown type {tname!r}; one of {sorted(_TYPES)}")
     mask = int(rest[1], 16) if len(rest) > 1 else None
-    return count, tname, mask
+    return count, tname, mask, use_mmap
 
 
 def main(argv=None) -> int:
-    count, tname, mask = _parse(sys.argv[1:] if argv is None else argv)
+    count, tname, mask, use_mmap = _parse(sys.argv[1:] if argv is None else argv)
 
     import jax.numpy as jnp
 
@@ -70,8 +72,19 @@ def main(argv=None) -> int:
     # dataset: the cached 40M key file, reinterpreted at the requested type
     # (the reference reads the same bytes as any type, `radix_experiment.cpp:78`)
     dt = _TYPES[tname]
-    raw = keyfile.load_or_create(count * (np.dtype(dt).itemsize if dt != "bfloat16" else 2)
-                                 // 4 + 1).view(np.uint8)
+    words_needed = count * (np.dtype(dt).itemsize if dt != "bfloat16" else 2) // 4 + 1
+    if use_mmap:
+        # real mmap-backed host read via the native runtime (the reference's
+        # `my_allocate` mmap path + provenance print, `radix_experiment.cpp:53-76`);
+        # numpy read fallback when no toolchain is present
+        from radix_sorting_tpu.runtime import native
+        keyfile.load_or_create(0)  # ensure the key file exists
+        raw = native.read_keyfile(keyfile.default_keyfile(), words_needed)
+        print("# allocation: native mmap read" if native.available()
+              else "# allocation: numpy read (native runtime unavailable)")
+        raw = raw.view(np.uint8)
+    else:
+        raw = keyfile.load_or_create(words_needed).view(np.uint8)
     itemsize = 2 if dt == "bfloat16" else np.dtype(dt).itemsize
     if raw.size < count * itemsize:
         sys.exit(f"dataset too small for {count} x {tname}")

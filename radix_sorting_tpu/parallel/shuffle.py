@@ -259,10 +259,15 @@ def _run_shuffle(planes, mesh, axis_name, splitter_bits, slack, exact,
     out = mapped(*planes)
     sorted_planes, counts, overflow = out[:nplanes], out[nplanes], out[nplanes + 1]
     if pad_total:
-        # elementwise (sharding-friendly) equivalent of counts[D-1] -= pad_total
-        counts = counts - jnp.where(
-            jnp.arange(D, dtype=jnp.int32) == D - 1, pad_total, 0
-        ).astype(counts.dtype)
+        # Pad rows are globally-maximal composites, so they occupy the TAIL
+        # of the valid global sequence — *usually* all on device D-1, but a
+        # degenerate input (e.g. every key equal to the sentinel value) can
+        # route the whole array, pads included, to one earlier device. So
+        # subtract the pad mass from the tail across devices: device d sheds
+        # clip(pad_total - (# already shed by devices after d), 0, counts[d]).
+        suffix_after = (jnp.cumsum(counts[::-1])[::-1] - counts).astype(jnp.int32)
+        shed = jnp.clip(pad_total - suffix_after, 0, counts.astype(jnp.int32))
+        counts = (counts.astype(jnp.int32) - shed).astype(counts.dtype)
     return sorted_planes, counts, overflow
 
 

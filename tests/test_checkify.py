@@ -26,6 +26,15 @@ import radix_sorting_tpu as rst
 
 CHECKS = checkify.index_checks | checkify.float_checks | checkify.div_checks
 
+# checkify cannot transform Mosaic `pallas_call` programs (the instrumented
+# grid while_loop's carry types mismatch), so the cases that can route into
+# the Pallas counting kernels are CPU-only — which is where this sanitizer
+# pass runs in CI anyway (the MEMCHECK analog). The same paths are covered
+# uninstrumented on the TPU backend by their own suites.
+skip_pallas_paths = pytest.mark.skipif(
+    jax.default_backend() != "cpu",
+    reason="checkify does not compose with Mosaic pallas_call")
+
 
 def _run_checked(fn, *args):
     """checkify + jit the callable, assert no error fired, return the value."""
@@ -34,6 +43,7 @@ def _run_checked(fn, *args):
     return out
 
 
+@skip_pallas_paths
 def test_checkify_sort_all_dtypes(rng):
     n = 2048
     for dtype in (np.uint8, np.uint16, np.uint32, np.int32, np.float32):
@@ -65,6 +75,7 @@ def test_checkify_argsort_and_pairs(rng):
     assert np.array_equal(np.asarray(pl), payload[order])
 
 
+@skip_pallas_paths
 def test_checkify_counting_and_masked(rng):
     n = 4096
     x = rng.integers(0, 256, size=n).astype(np.uint8)

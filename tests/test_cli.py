@@ -44,3 +44,12 @@ def test_cli_bad_type():
     out = _run_cli("100", "q7")
     assert out.returncode != 0
     assert "unknown type" in out.stderr
+
+
+def test_cli_mmap_flag_native_read(capsys):
+    # use_mmap=1 routes the host read through the native mmap loader
+    # (provenance printed like `radix_experiment.cpp:59-69`); result identical
+    from radix_sorting_tpu import cli
+    assert cli.main(["5000", "1", "0", "u32"]) == 0
+    out = capsys.readouterr().out
+    assert "# allocation:" in out

@@ -292,3 +292,20 @@ def test_distributed_pairs_shuffle_skew_overflow_detected(rng, mesh):
         jnp.asarray(x), payload, mesh, method="shuffle", exact=True)
     order = np.argsort(x, kind="stable")
     assert np.array_equal(gather_sorted(pv, counts, ovf), payload[order])
+
+
+def test_distributed_ragged_all_sentinel_keys(rng, mesh):
+    # regression (found by the differential soak): ragged n with EVERY key
+    # equal to the sentinel value routes the whole array (pads included) to
+    # one device; the pad adjustment must shed pad mass from the tail device
+    # with data, not blindly from device D-1 (which went negative).
+    n = (1 << 12) + 1237
+    x = np.full(n, 0xFFFFFFFF, np.uint32)
+    sp, counts, ovf = distributed_sort_u32(jnp.asarray(x), mesh, exact=True)
+    c = np.asarray(counts)
+    assert (c >= 0).all() and c.sum() == n
+    assert np.array_equal(gather_sorted(sp, counts, ovf), x)
+    payload = rng.integers(0, 1 << 32, size=n, dtype=np.uint32)
+    sk, pl, counts, ovf = distributed_sort_pairs_u32(
+        jnp.asarray(x), jnp.asarray(payload), mesh, exact=True)
+    assert np.array_equal(gather_sorted(pl, counts, ovf), payload)

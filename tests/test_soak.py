@@ -99,3 +99,92 @@ def test_soak_distributed(seed):
     assert int(np.asarray(ovf).sum()) == 0
     out = gather_sorted(jnp.asarray(sp).view(jnp.uint32), counts, ovf)
     assert np.array_equal(out, np.sort(x)), (seed, n, chunk)
+
+
+@pytest.mark.parametrize("seed", range(30))
+def test_soak_differential_vs_reference_binary(seed, tmp_path):
+    """Differential fuzz: random arrays/types/masks/orders, byte-exact vs the
+    COMPILED reference radix_sort (the strongest oracle there is)."""
+    import subprocess
+    from tests.test_parity import DRIVER, _ensure_driver
+
+    _ensure_driver()
+    r = np.random.Generator(np.random.PCG64(7000 + seed))
+    tname, dtype = [("u8", np.uint8), ("u16", np.uint16), ("u32", np.uint32),
+                    ("u64", np.uint64), ("i32", np.int32), ("i64", np.int64),
+                    ("f32", np.float32), ("f64", np.float64)][seed % 8]
+    itemsize = np.dtype(dtype).itemsize
+    n = int(r.integers(2, 200_000))
+    style = seed % 4
+    if style == 0:
+        raw = r.integers(0, 1 << 32, size=-(-n * itemsize // 4),
+                         dtype=np.uint32)
+    elif style == 1:  # low entropy
+        raw = r.integers(0, 7, size=-(-n * itemsize // 4), dtype=np.uint32)
+    elif style == 2:  # presorted bytes
+        raw = np.sort(r.integers(0, 1 << 32, size=-(-n * itemsize // 4),
+                                 dtype=np.uint32))
+    else:             # constant
+        raw = np.full(-(-n * itemsize // 4), r.integers(0, 1 << 32),
+                      np.uint32)
+    keyfile = tmp_path / "keys.dat"
+    raw.astype("<u4").tofile(keyfile)
+    mask = (None if seed % 3 == 0
+            else int(r.integers(1, 1 << 32)) | (1 if itemsize == 1 else 0))
+    rev = bool(seed % 2)
+
+    x = raw.view(np.uint8)[: n * itemsize].view(dtype).copy()
+    vm = None
+    if mask is not None:
+        vm = mask & ((1 << (8 * itemsize)) - 1)
+        u = x.view(f"u{itemsize}")
+        x = (u & np.dtype(f"u{itemsize}").type(vm)).view(dtype)
+
+    out = tmp_path / "ref.bin"
+    subprocess.run(
+        [str(DRIVER), str(keyfile), str(out), str(n), tname,
+         f"{mask:X}" if mask is not None else "-",
+         "rev" if rev else "fwd", "sort"], check=True)
+    ref = np.fromfile(out, dtype=dtype, count=n)
+
+    cfg = rst.SortConfig(descending=rev)
+    mine = np.asarray(rst.sort(x if itemsize == 8 else jnp.asarray(x),
+                               config=cfg, value_mask=vm))
+    assert np.array_equal(mine.view(np.uint8), ref.view(np.uint8)), (
+        seed, tname, n, mask, rev, style)
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_soak_distributed_records(seed):
+    """Distributed argsort/pairs soak: both exchange backends, overlap mode,
+    adversarial styles, stable-permutation oracle."""
+    import jax
+    from radix_sorting_tpu.parallel import (
+        distributed_argsort, distributed_sort_pairs, gather_sorted,
+        make_sort_mesh)
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device mesh")
+    r = np.random.Generator(np.random.PCG64(9000 + seed))
+    mesh = make_sort_mesh(int(r.integers(2, 9)))
+    n = int(r.integers(10, 30_000))
+    style = seed % 3
+    if style == 0:
+        x = r.integers(0, 1 << 32, size=n, dtype=np.uint32)
+    elif style == 1:
+        x = r.integers(0, 5, size=n, dtype=np.uint32)
+    else:
+        x = np.full(n, 0xFFFFFFFF, np.uint32)  # all-maximal (pad adversary)
+    method, kw = (("balanced", {"chunk": int(r.integers(1, max(2, n // 4))),
+                                "overlap": bool(seed % 2)})
+                  if seed % 2 == 0 else ("shuffle", {"exact": True}))
+    expect = np.argsort(x, kind="stable").astype(np.uint32)
+    if seed % 3 == 0:
+        _, perm, counts, ovf = distributed_argsort(
+            jnp.asarray(x), mesh, method=method, **kw)
+        assert np.array_equal(gather_sorted(perm, counts, ovf), expect)
+    else:
+        payload = r.integers(0, 1 << 32, size=n, dtype=np.uint32)
+        _, pv, counts, ovf = distributed_sort_pairs(
+            jnp.asarray(x), payload, mesh, method=method, **kw)
+        assert np.array_equal(gather_sorted(jnp.asarray(pv), counts, ovf),
+                              payload[expect])
