@@ -40,15 +40,13 @@ output shard is padded to ``capacity`` with sentinels and paired with a
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-
-from ..ops import kdf
+from jax.sharding import Mesh, PartitionSpec as P
 
 __all__ = [
     "distributed_sort",

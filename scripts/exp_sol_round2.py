@@ -25,7 +25,6 @@ so all comparisons are within-process):
 Each experiment prints one JSON line; results land in ROADMAP.md.
 """
 
-import functools
 import json
 import time
 
