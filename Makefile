@@ -4,7 +4,7 @@
 PY ?= python
 TESTENV = PALLAS_AXON_POOL_IPS=
 
-.PHONY: all test memcheck bench bench-suite genkeys native clean help parity-driver parity-check parity-check-quick
+.PHONY: all test memcheck bench bench-suite genkeys native clean help parity-driver parity-check parity-check-quick diagrams
 
 all: native
 
@@ -48,6 +48,13 @@ parity-check: parity/ref_driver
 
 parity-check-quick: parity/ref_driver
 	$(TESTENV) $(PY) scripts/parity_check.py --quick
+
+# render architecture diagrams (the reference's data/Makefile analog);
+# degrades to a notice when graphviz is absent
+diagrams:
+	@command -v dot >/dev/null 2>&1 \
+		&& for f in docs/*.dot; do dot $$f -Tsvg -o $${f%.dot}.svg && echo "rendered $${f%.dot}.svg"; done \
+		|| echo "graphviz 'dot' not installed; diagram sources in docs/*.dot"
 
 # create the 40M-key dataset (`make genkeys` analog, Makefile:79-82)
 genkeys:
