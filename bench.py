@@ -105,6 +105,18 @@ def main() -> int:
 
     dt_masked = steady_rate(masked_once, xm, 10)
 
+    # 16-bit full-domain keys: the windowed-regeneration counting tier
+    # (round 2; ops/pallas_kernels.regenerate_windowed_tpu)
+    xu16 = jnp.asarray(keys.astype(np.uint16))
+
+    def u16_once(c):
+        (w,) = rst.ops.kdf.encode(c)
+        (s,) = counting_engine.sort_words_counting((w,), (0xFFFF,))
+        dep = s[0].astype(jnp.uint16) & np.uint16(1)
+        return c ^ dep ^ np.uint16(1)
+
+    dt_u16 = steady_rate(u16_once, xu16, 8)
+
     ROW = 4096
     xb = x[: (n // ROW) * ROW].reshape(-1, ROW)
 
@@ -125,6 +137,7 @@ def main() -> int:
         "ms_per_sort": round(dt * 1e3, 2),
         "verified_bit_exact": ok,
         "masked_8bit_Mkeys": round(n / dt_masked / 1e6, 1),
+        "u16_full_Mkeys": round(n / dt_u16 / 1e6, 1),
         "batched_rows_Mkeys": round(xb.size / dt_batched / 1e6, 1),
         "device": str(jax.devices()[0]),
         "n": n,

@@ -34,6 +34,7 @@ from .extras import (
     segmented_argsort,
     segmented_sort,
     top_k,
+    top_k_batched,
     unique_sorted,
 )
 from .ops.bitmap import bitmap_unique_sort
@@ -60,6 +61,7 @@ __all__ = [
     "segmented_sort",
     "segmented_argsort",
     "top_k",
+    "top_k_batched",
     "SortConfig",
     "Strategy",
     "DEFAULT_CONFIG",

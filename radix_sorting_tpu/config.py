@@ -52,6 +52,12 @@ class SortConfig:
       descending: sort order. Implemented via derived-key complement
         (`README.md:566-574`), preserving stability.
       counting_max_bits: ceiling on live-domain width for the COUNTING path.
+        Default 16 (round 2): on TPU the windowed-regeneration tier
+        (`ops/pallas_kernels.regenerate_windowed_tpu`) makes 2^11..2^16-bin
+        domains profitable, with an in-graph sorter fallback for
+        distributions whose output blocks would overrun the bin window; on
+        CPU and past 2^10 bins without TPU, the engine falls back to the
+        sorter internally, so the wider default is always safe.
       lsd_chunk: elements per chunk in the LSD engine's tile decomposition
         (the distributed-memory generalization of `cnt[k]++`,
         `counting_sort_8s.c:23-34`).
@@ -71,7 +77,7 @@ class SortConfig:
     strategy: str = Strategy.AUTO
     radix_bits: int = 8
     descending: bool = False
-    counting_max_bits: int = 10
+    counting_max_bits: int = 16
     lsd_chunk: int = 8192
     detect_presorted: bool = True
     skip_trivial_digits: bool = True

@@ -19,6 +19,7 @@ from .config import DEFAULT_CONFIG, SortConfig
 from .ops import hw_engine
 
 __all__ = ["lexsort", "unique_sorted", "segmented_sort", "segmented_argsort",
+           "top_k_batched",
            "top_k", "merge_sorted", "nth_element", "stable_partition",
            "value_counts"]
 
@@ -276,3 +277,31 @@ def top_k(x, k: int, *, largest: bool = True, index_dtype=jnp.uint32):
     sw, perm = hw_engine.argsort_words(tuple(words), index_dtype=index_dtype)
     top_words = tuple(w[:k] for w in sw)
     return _decode(top_words, dtype, largest), perm[:k]
+
+
+def top_k_batched(x, k: int, *, axis: int = -1, largest: bool = True,
+                  index_dtype=jnp.uint32):
+    """Top-k of every 1-D slice along ``axis``, stable original indices.
+
+    The batched form of :func:`top_k` — one fused device sort for the whole
+    batch (the TPU sweet spot: see the batched-sort cost curve in
+    docs/NOTES.md §3), any supported dtype including 64-bit two-plane keys.
+    Returns ``(values, indices)`` with ``k`` replacing the size of ``axis``,
+    ordered best-first; ties resolve to the lower index per slice.
+    """
+    from .api import (_as_words, _check_index_width, _decode, _moveaxis_last,
+                      _restore_axis)
+
+    xm, axis = _moveaxis_last(x, axis)
+    words, dtype = _as_words(xm, largest, allow_nd=True)
+    dim = words[0].ndim - 1
+    n = int(words[0].shape[dim])
+    if not 0 < k <= n:
+        raise ValueError(f"k must be in [1, {n}], got {k}")
+    _check_index_width(n, index_dtype)
+    iota = jax.lax.broadcasted_iota(index_dtype, words[0].shape, dim)
+    out = jax.lax.sort(tuple(words) + (iota,), dimension=dim, is_stable=False,
+                       num_keys=len(words) + 1)
+    top_words = tuple(w[..., :k] for w in out[: len(words)])
+    vals = _decode(top_words, dtype, largest)
+    return _restore_axis(vals, axis), _restore_axis(out[-1][..., :k], axis)

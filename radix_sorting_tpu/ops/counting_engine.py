@@ -45,11 +45,19 @@ from .histogram import digit_histogram
 __all__ = ["counting_sort_compact", "sort_word_counting", "sort_words_counting"]
 
 
-# Regeneration is O(bins) compares per output element, so it loses to the
-# hardware sorter past ~2^10 bins (measured: 256-bin regen ~5 ms/40M vs the
-# 77 ms sorter; 4096-bin would exceed it, and the Pallas kernel's
+# Plain regeneration is O(bins) compares per output element, so it loses to
+# the hardware sorter past ~2^10 bins (measured: 256-bin regen ~5 ms/40M vs
+# the 77 ms sorter; 4096-bin would exceed it, and the Pallas kernel's
 # (bins, lane-row) compare tile stops fitting VMEM long before 2^16).
 _REGEN_MAX_BINS = 1 << 10
+
+# WINDOWED regeneration (round 2) extends the counting fast path to 2^16
+# bins on TPU: each output block compares only against the <=1024-bin
+# window its positions can span (O(window)/element), with an in-graph
+# `lax.cond` sorter fallback for distributions whose blocks would overrun
+# the window (tiny n over a huge sparse domain). See
+# `pallas_kernels.regenerate_windowed_tpu`.
+_REGEN_WIN_MAX_BINS = 1 << 16
 
 
 @partial(jax.jit, static_argnames=("bins", "block"))
@@ -64,6 +72,18 @@ def counting_sort_compact(c: jax.Array, bins: int, block: int = 1 << 20) -> jax.
     """
     n = c.shape[0]
     if bins > _REGEN_MAX_BINS:
+        if (jax.default_backend() == "tpu" and bins <= _REGEN_WIN_MAX_BINS
+                and bins & (bins - 1) == 0 and bins >= 4):
+            from .pallas_kernels import (histogram_tpu, regen_windows_fit,
+                                         regenerate_windowed_tpu)
+            hist = histogram_tpu(c, 0, radix_bits=bins.bit_length() - 1)
+            cum = jnp.cumsum(hist, dtype=jnp.int32)
+            return lax.cond(
+                regen_windows_fit(cum, n),
+                lambda: regenerate_windowed_tpu(cum, n, bins),
+                lambda: lax.sort((c,), dimension=0, is_stable=False,
+                                 num_keys=1)[0],
+            )
         (s,) = lax.sort((c,), dimension=0, is_stable=False, num_keys=1)
         return s
     # bins >= 4: a 2-bin factored one-hot has a single-lane half Mosaic
@@ -123,7 +143,11 @@ def sort_words_counting(words, masks, descending: bool = False):
     nbits = sum(bin(m).count("1") for m in masks)
     assert nbits <= 32, "compacted live bits must fit one u32 word"
     bins = 1 << nbits
-    if bins > _REGEN_MAX_BINS:
+    # Past the plain-regeneration budget, TPU still has the windowed tier
+    # (compact -> counting_sort_compact's windowed regen, with its own
+    # in-graph sorter fallback) up to 2^16 bins; elsewhere, sort raw planes.
+    win_ok = (jax.default_backend() == "tpu" and bins <= _REGEN_WIN_MAX_BINS)
+    if bins > _REGEN_MAX_BINS and not win_ok:
         # Sorter fallback: sort the raw planes directly — skips PEXT/PDEP.
         # Keys-only: a descending result is the ascending result reversed.
         out = lax.sort(words, dimension=0, is_stable=False, num_keys=len(words))
@@ -134,7 +158,8 @@ def sort_words_counting(words, masks, descending: bool = False):
     # full-array HBM streams total instead of five+ (see pallas_kernels).
     # nbits >= 2: Mosaic cannot lower the degenerate one-hot of a single-lane
     # (L=1) factored histogram; 2-bin domains use the XLA path (trivial there)
-    if not descending and nbits >= 2 and jax.default_backend() == "tpu":
+    if (not descending and nbits >= 2 and bins <= _REGEN_MAX_BINS
+            and jax.default_backend() == "tpu"):
         if len(words) == 1 and masks[0]:
             from .pallas_kernels import histogram_pext_tpu, regenerate_pdep_tpu
             (w,) = words

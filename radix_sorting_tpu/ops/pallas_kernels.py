@@ -41,6 +41,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["histogram_tpu", "multi_digit_histogram_tpu", "regenerate_tpu",
+           "regenerate_windowed_tpu", "regen_windows_fit",
            "histogram_pext_tpu", "regenerate_pdep_tpu",
            "histogram_pext2_tpu", "regenerate_pdep2_tpu"]
 
@@ -492,3 +493,109 @@ def regenerate_tpu(hist: jax.Array, n: int) -> jax.Array:
     bins = hist.shape[0]
     cum = jnp.cumsum(hist, dtype=jnp.int32)
     return _regen_call(cum, n, bins)
+
+
+# ---------------------------------------------------------------------------
+# windowed regeneration: counting sort for WIDE dense domains (2^10 < bins
+# <= 2^16)
+#
+# Plain regeneration compares every output position against every bin
+# (O(bins)/element), which loses to the hardware sorter past ~2^10 bins. But
+# an output block of E elements can only span the few bins whose cumulative
+# count crosses its position range — for uniform-ish data E*bins/n + 1 bins
+# (e.g. ~14 for 40M keys, 2^16 bins, 64K blocks). So: compute per-block
+# window starts with one tiny searchsorted over the cumulative histogram,
+# and compare each block only against a fixed-width window of bins. Cost
+# becomes O(window)/element regardless of the domain width. Blocks that
+# would overrun the window (pathological sparse distributions, tiny n over
+# a huge domain) are detected by `regen_windows_fit` and the caller falls
+# back to the sorter via `lax.cond` — no host sync.
+
+_REGEN_WINDOW = 1024  # bins per window: same per-element cost as the
+                      # plain-regeneration gate (_REGEN_MAX_BINS)
+
+
+def _regen_win_kernel(cum_ref, starts_ref, o_ref, *, window):
+    """out[j] = #{b : cum[b] <= j}, windowed.
+
+    cum_ref: (bins + window, 1) int32 — inclusive cumulative histogram padded
+    with int32-max sentinels so every window slice is in bounds;
+    starts_ref: (steps, 1) int32 — first bin whose cum exceeds the block's
+    base position (all earlier bins are counted wholesale);
+    o_ref: (_BLOCK_SUBS, _SUB) uint32 output block.
+    """
+    step = pl.program_id(0)
+    s = starts_ref[step, 0]
+    cumw = cum_ref[pl.ds(s, window), :]                    # (window, 1) int32
+    base = step * (_BLOCK_SUBS * _SUB)
+    ones_row = jnp.ones((1, window), jnp.bfloat16)
+
+    def body(r, _):
+        j = base + r * _SUB + lax.broadcasted_iota(jnp.int32, (1, _SUB), 1)
+        emitted = (cumw <= j).astype(jnp.bfloat16)         # (window, _SUB)
+        v = jax.lax.dot_general(
+            ones_row, emitted,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                  # (1, _SUB) exact
+        o_ref[pl.ds(r, 1), :] = (s + v.astype(jnp.int32)).astype(jnp.uint32)
+        return 0
+
+    lax.fori_loop(0, _BLOCK_SUBS, body, 0)
+
+
+def _regen_win_starts(cum, n_pad: int):
+    """Per-block window starts: #bins with cum <= block base position."""
+    block_elems = _BLOCK_SUBS * _SUB
+    steps = n_pad // block_elems
+    bases = jnp.arange(steps, dtype=jnp.int32) * block_elems
+    return jnp.searchsorted(cum, bases, side="right").astype(jnp.int32)
+
+
+def regen_windows_fit(cum, n: int, window: int = _REGEN_WINDOW) -> jax.Array:
+    """Traced bool: every output block's bin span fits the window.
+
+    The span of block t is (#bins with cum <= block end) - (#bins with
+    cum <= block base); callers gate `regenerate_windowed_tpu` on this with
+    `lax.cond` (sorter fallback), keeping the whole dispatch on device.
+    """
+    block_elems = _BLOCK_SUBS * _SUB
+    n_pad = -(-n // block_elems) * block_elems
+    starts = _regen_win_starts(cum, n_pad)
+    block_ends = (jnp.arange(n_pad // block_elems, dtype=jnp.int32) + 1) \
+        * block_elems - 1
+    ends = jnp.searchsorted(cum, block_ends, side="right").astype(jnp.int32)
+    return jnp.max(ends - starts) <= window
+
+
+@functools.partial(jax.jit, static_argnames=("n", "bins", "window"))
+def regenerate_windowed_tpu(cum, n, bins, window: int = _REGEN_WINDOW):
+    """Keys-only counting-sort regeneration for wide domains (Pallas).
+
+    cum: (bins,) int32 inclusive cumulative histogram. Only valid when
+    `regen_windows_fit(cum, n, window)` holds — gate with `lax.cond`.
+    """
+    block_elems = _BLOCK_SUBS * _SUB
+    n_pad = -(-n // block_elems) * block_elems
+    steps = n_pad // block_elems
+    starts = _regen_win_starts(cum, n_pad)
+    # sentinel tail: never <= any position, and makes every slice in-bounds
+    cum_pad = jnp.concatenate(
+        [cum.astype(jnp.int32), jnp.full((window,), jnp.iinfo(jnp.int32).max,
+                                         jnp.int32)])
+    kernel = functools.partial(_regen_win_kernel, window=window)
+    out = pl.pallas_call(
+        kernel,
+        grid=(steps,),
+        in_specs=[
+            pl.BlockSpec((bins + window, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((steps, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_BLOCK_SUBS, _SUB), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((steps * _BLOCK_SUBS, _SUB), jnp.uint32),
+        interpret=_want_interpret(),
+    )(cum_pad.reshape(bins + window, 1), starts.reshape(steps, 1))
+    return out.reshape(-1)[:n]

@@ -139,3 +139,28 @@ def test_empty_and_2d_contracts_64bit():
     assert vals.dtype == np.uint64 and int(k) == 0
     with pytest.raises(ValueError, match="1-D"):
         value_counts(np.zeros((3, 4), np.uint64))
+
+
+def test_top_k_batched(rng):
+    x = rng.integers(0, 100, size=(8, 512), dtype=np.uint32)  # heavy ties
+    vals, idx = rst.top_k_batched(jnp.asarray(x), 9)
+    for r in range(8):
+        order = np.argsort(-x[r].astype(np.int64), kind="stable")[:9]
+        assert np.array_equal(np.asarray(vals)[r], x[r][order])
+        assert np.array_equal(np.asarray(idx)[r], order.astype(np.uint32))
+    # smallest-first along axis 0, float keys with specials
+    xf = rng.standard_normal((256, 4)).astype(np.float32)
+    xf[0, :] = np.nan
+    vals, idx = rst.top_k_batched(jnp.asarray(xf), 3, axis=0, largest=False)
+    for c in range(4):
+        order = np.argsort(xf[:, c], kind="stable")[:3]  # nan sorts last
+        assert np.array_equal(np.asarray(vals)[:, c], xf[order, c])
+    # 64-bit two-plane keys
+    x64 = rng.integers(0, 1 << 64, size=(4, 64), dtype=np.uint64)
+    vals, idx = rst.top_k_batched(x64, 5)
+    for r in range(4):
+        order = np.argsort(-x64[r].astype(np.float64))  # approx; check values
+        expect = np.sort(x64[r])[::-1][:5]
+        assert np.array_equal(np.asarray(vals, dtype=np.uint64)[r], expect)
+    with pytest.raises(ValueError):
+        rst.top_k_batched(jnp.asarray(x), 0)

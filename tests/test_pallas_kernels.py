@@ -105,3 +105,58 @@ def test_fused_two_plane_u64(rng):
     got = (np.asarray(shi).astype(np.uint64) << np.uint64(32)) \
         | np.asarray(slo).astype(np.uint64)
     assert np.array_equal(got, order)
+
+
+def test_regenerate_windowed(rng):
+    # Windowed regen == plain regen semantics for wide domains. The fit
+    # condition needs enough elements per 64K output block relative to the
+    # bin count (n >= block_elems * bins / window for uniform data), so the
+    # sizes here are chosen accordingly; the 2^16 case at full 40M scale is
+    # exercised on hardware (drive/bench) where interpret-mode cost is moot.
+    from radix_sorting_tpu.ops.pallas_kernels import (
+        regen_windows_fit, regenerate_windowed_tpu)
+    for bins, n in ((1 << 11, 400_000), (1 << 13, 800_000)):
+        x = rng.integers(0, bins, size=n, dtype=np.uint32)
+        hist = np.bincount(x, minlength=bins).astype(np.int32)
+        cum = jnp.cumsum(jnp.asarray(hist), dtype=jnp.int32)
+        assert bool(regen_windows_fit(cum, n)), (bins, n)
+        out = np.asarray(regenerate_windowed_tpu(cum, n, bins))
+        assert np.array_equal(out, np.sort(x)), (bins, n)
+
+
+def test_regenerate_windowed_skewed_and_boundaries(rng):
+    from radix_sorting_tpu.ops.pallas_kernels import (
+        regen_windows_fit, regenerate_windowed_tpu)
+    bins, n = 1 << 11, 600_000
+    # heavy skew: half the mass in one bin, plus empty ranges
+    x = np.concatenate([
+        np.full(n // 2, 17, np.uint32),
+        rng.integers(bins - 64, bins, size=n // 4, dtype=np.uint32),
+        rng.integers(0, bins, size=n - n // 2 - n // 4, dtype=np.uint32),
+    ])
+    hist = np.bincount(x, minlength=bins).astype(np.int32)
+    cum = jnp.cumsum(jnp.asarray(hist), dtype=jnp.int32)
+    assert bool(regen_windows_fit(cum, n))
+    out = np.asarray(regenerate_windowed_tpu(cum, n, bins))
+    assert np.array_equal(out, np.sort(x))
+
+
+def test_regen_windows_fit_detects_overrun(rng):
+    # tiny n over a huge sparse domain: one output block spans more bins
+    # than the window -> the fit check must say no (callers fall back)
+    from radix_sorting_tpu.ops.pallas_kernels import regen_windows_fit
+    bins, n = 1 << 16, 30_000
+    x = (rng.permutation(bins)[:n] & 0xFFFF).astype(np.uint32)  # distinct
+    hist = np.bincount(x, minlength=bins).astype(np.int32)
+    cum = jnp.cumsum(jnp.asarray(hist), dtype=jnp.int32)
+    assert not bool(regen_windows_fit(cum, n))
+
+
+def test_counting_compact_windowed_tier(rng):
+    # counting_sort_compact routes 2^10 < bins <= 2^16 through the windowed
+    # tier on TPU and the sorter elsewhere; results identical either way
+    from radix_sorting_tpu.ops.counting_engine import counting_sort_compact
+    for bins in (1 << 12, 1 << 16):
+        x = rng.integers(0, bins, size=120_000, dtype=np.uint32)
+        out = np.asarray(counting_sort_compact(jnp.asarray(x), bins))
+        assert np.array_equal(out, np.sort(x))
