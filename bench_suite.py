@@ -93,6 +93,17 @@ def main() -> int:
         (w,) = kdf.encode(a)
         return counting_engine.sort_word_counting(w, mask)
 
+    mask13 = 0x1FFF << 7  # 13 live bits: the windowed-regeneration tier
+
+    def masked13_sort(a):
+        (w,) = kdf.encode(a)
+        return counting_engine.sort_word_counting(w, mask13)
+
+    def u16_sort(a):
+        (w,) = kdf.encode(a)
+        (s,) = counting_engine.sort_words_counting((w,), (0xFFFF,))
+        return s
+
     def pairs_sort(a):
         # stable record sort: key + one u32 payload plane riding the sorter
         (w,) = kdf.encode(a)
@@ -113,6 +124,10 @@ def main() -> int:
         "radix_sort_rank": (rank_sort, lambda n: jnp.asarray(keys[:n])),
         "radix_sort_pairs": (pairs_sort, lambda n: jnp.asarray(keys[:n])),
         "counting_masked": (masked_sort, lambda n: jnp.asarray(keys[:n] & np.uint32(mask))),
+        "counting_13bit_windowed": (
+            masked13_sort, lambda n: jnp.asarray(keys[:n] & np.uint32(mask13))),
+        "counting_u16_windowed": (
+            u16_sort, lambda n: jnp.asarray(keys[:n].astype(np.uint16))),
         "jnp_sort_baseline": (jnp.sort, lambda n: jnp.asarray(keys[:n])),
         "batched_rows_4096": (
             batched_sort,

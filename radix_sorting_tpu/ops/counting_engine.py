@@ -156,22 +156,49 @@ def sort_words_counting(words, masks, descending: bool = False):
     # TPU fast paths: PEXT fused into the histogram read and PDEP + dead-bit
     # restore fused into the regeneration write — two (three for 64-bit)
     # full-array HBM streams total instead of five+ (see pallas_kernels).
+    # Past _REGEN_MAX_BINS the fused WINDOWED variants apply, gated in-graph
+    # on the window-fit check with a raw-plane sorter fallback.
     # nbits >= 2: Mosaic cannot lower the degenerate one-hot of a single-lane
     # (L=1) factored histogram; 2-bin domains use the XLA path (trivial there)
-    if (not descending and nbits >= 2 and bins <= _REGEN_MAX_BINS
-            and jax.default_backend() == "tpu"):
+    if not descending and nbits >= 2 and jax.default_backend() == "tpu":
         if len(words) == 1 and masks[0]:
-            from .pallas_kernels import histogram_pext_tpu, regenerate_pdep_tpu
+            from .pallas_kernels import (histogram_pext_tpu,
+                                         regen_windows_fit,
+                                         regenerate_pdep_tpu,
+                                         regenerate_pdep_windowed_tpu)
             (w,) = words
+            n = int(w.shape[0])
             hist = histogram_pext_tpu(w, masks[0])
-            return (regenerate_pdep_tpu(hist, int(w.shape[0]), masks[0], w[0]),)
+            if bins <= _REGEN_MAX_BINS:
+                return (regenerate_pdep_tpu(hist, n, masks[0], w[0]),)
+            cum = jnp.cumsum(hist, dtype=jnp.int32)
+            return (lax.cond(
+                regen_windows_fit(cum, n),
+                lambda: regenerate_pdep_windowed_tpu(cum, n, bins, masks[0],
+                                                     w[0]),
+                lambda: lax.sort((w,), dimension=0, is_stable=False,
+                                 num_keys=1)[0],
+            ),)
         if len(words) == 2:
-            from .pallas_kernels import histogram_pext2_tpu, regenerate_pdep2_tpu
+            from .pallas_kernels import (histogram_pext2_tpu,
+                                         regen_windows_fit,
+                                         regenerate_pdep2_tpu,
+                                         regenerate_pdep2_windowed_tpu)
             hi, lo = words
+            n = int(hi.shape[0])
             hist = histogram_pext2_tpu(hi, lo, masks[0], masks[1])
-            shi, slo = regenerate_pdep2_tpu(
-                hist, int(hi.shape[0]), masks[0], masks[1], hi[0], lo[0])
-            return (shi, slo)
+            if bins <= _REGEN_MAX_BINS:
+                shi, slo = regenerate_pdep2_tpu(
+                    hist, n, masks[0], masks[1], hi[0], lo[0])
+                return (shi, slo)
+            cum = jnp.cumsum(hist, dtype=jnp.int32)
+            return tuple(lax.cond(
+                regen_windows_fit(cum, n),
+                lambda: regenerate_pdep2_windowed_tpu(
+                    cum, n, bins, masks[0], masks[1], hi[0], lo[0]),
+                lambda: tuple(lax.sort((hi, lo), dimension=0, is_stable=False,
+                                       num_keys=2)),
+            ))
 
     # merge plane compactions LSW-first so the MSW plane takes the high bits
     merged = jnp.zeros_like(words[0])

@@ -42,6 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["histogram_tpu", "multi_digit_histogram_tpu", "regenerate_tpu",
            "regenerate_windowed_tpu", "regen_windows_fit",
+           "regenerate_pdep_windowed_tpu", "regenerate_pdep2_windowed_tpu",
            "histogram_pext_tpu", "regenerate_pdep_tpu",
            "histogram_pext2_tpu", "regenerate_pdep2_tpu"]
 
@@ -599,3 +600,131 @@ def regenerate_windowed_tpu(cum, n, bins, window: int = _REGEN_WINDOW):
         interpret=_want_interpret(),
     )(cum_pad.reshape(bins + window, 1), starts.reshape(steps, 1))
     return out.reshape(-1)[:n]
+
+
+def _regen_pdep_win_kernel(cum_ref, starts_ref, dead_ref, o_ref, *, window,
+                           mask):
+    """Windowed regeneration with PDEP + dead-bit restore fused into the
+    output write (the wide-domain form of `_regen_pdep_kernel`)."""
+    step = pl.program_id(0)
+    s = starts_ref[step, 0]
+    cumw = cum_ref[pl.ds(s, window), :]
+    dead = dead_ref[0]
+    base = step * (_BLOCK_SUBS * _SUB)
+    ones_row = jnp.ones((1, window), jnp.bfloat16)
+
+    def body(r, _):
+        j = base + r * _SUB + lax.broadcasted_iota(jnp.int32, (1, _SUB), 1)
+        emitted = (cumw <= j).astype(jnp.bfloat16)
+        v = (s + jax.lax.dot_general(
+            ones_row, emitted, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)).astype(jnp.uint32)
+        o_ref[pl.ds(r, 1), :] = _pdep_rows(v, mask) | dead
+        return 0
+
+    lax.fori_loop(0, _BLOCK_SUBS, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "bins", "mask", "window"))
+def regenerate_pdep_windowed_tpu(cum, n, bins, mask, dead_word,
+                                 window: int = _REGEN_WINDOW):
+    """Fused windowed regeneration of the sorted masked keys (one write).
+
+    Only valid when `regen_windows_fit(cum, n, window)` holds — gate with
+    `lax.cond` (raw-plane sorter fallback)."""
+    block_elems = _BLOCK_SUBS * _SUB
+    n_pad = -(-n // block_elems) * block_elems
+    steps = n_pad // block_elems
+    starts = _regen_win_starts(cum, n_pad)
+    cum_pad = jnp.concatenate(
+        [cum.astype(jnp.int32), jnp.full((window,), jnp.iinfo(jnp.int32).max,
+                                         jnp.int32)])
+    dead = (dead_word & np.uint32(~int(mask) & 0xFFFFFFFF)).astype(jnp.uint32)
+    kernel = functools.partial(_regen_pdep_win_kernel, window=window,
+                               mask=int(mask))
+    out = pl.pallas_call(
+        kernel,
+        grid=(steps,),
+        in_specs=[
+            pl.BlockSpec((bins + window, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((steps, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((_BLOCK_SUBS, _SUB), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((steps * _BLOCK_SUBS, _SUB), jnp.uint32),
+        interpret=_want_interpret(),
+    )(cum_pad.reshape(bins + window, 1), starts.reshape(steps, 1),
+      dead.reshape(1))
+    return out.reshape(-1)[:n]
+
+
+def _regen_pdep2_win_kernel(cum_ref, starts_ref, dead_ref, ohi_ref, olo_ref,
+                            *, window, mask_hi, mask_lo):
+    """Two-plane windowed regeneration (64-bit masked keys, one write each)."""
+    step = pl.program_id(0)
+    s = starts_ref[step, 0]
+    cumw = cum_ref[pl.ds(s, window), :]
+    dead_hi = dead_ref[0]
+    dead_lo = dead_ref[1]
+    nb_lo = bin(mask_lo).count("1")
+    base = step * (_BLOCK_SUBS * _SUB)
+    ones_row = jnp.ones((1, window), jnp.bfloat16)
+
+    def body(r, _):
+        j = base + r * _SUB + lax.broadcasted_iota(jnp.int32, (1, _SUB), 1)
+        emitted = (cumw <= j).astype(jnp.bfloat16)
+        v = (s + jax.lax.dot_general(
+            ones_row, emitted, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)).astype(jnp.uint32)
+        olo_ref[pl.ds(r, 1), :] = _pdep_rows(v & np.uint32((1 << nb_lo) - 1),
+                                             mask_lo) | dead_lo
+        ohi_ref[pl.ds(r, 1), :] = _pdep_rows(v >> np.uint32(nb_lo),
+                                             mask_hi) | dead_hi
+        return 0
+
+    lax.fori_loop(0, _BLOCK_SUBS, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "bins", "mask_hi", "mask_lo",
+                                             "window"))
+def regenerate_pdep2_windowed_tpu(cum, n, bins, mask_hi, mask_lo,
+                                  dead_hi_word, dead_lo_word,
+                                  window: int = _REGEN_WINDOW):
+    """Fused two-plane windowed regeneration; gate with `regen_windows_fit`."""
+    block_elems = _BLOCK_SUBS * _SUB
+    n_pad = -(-n // block_elems) * block_elems
+    steps = n_pad // block_elems
+    starts = _regen_win_starts(cum, n_pad)
+    cum_pad = jnp.concatenate(
+        [cum.astype(jnp.int32), jnp.full((window,), jnp.iinfo(jnp.int32).max,
+                                         jnp.int32)])
+    dead = jnp.stack([
+        dead_hi_word & np.uint32(~int(mask_hi) & 0xFFFFFFFF),
+        dead_lo_word & np.uint32(~int(mask_lo) & 0xFFFFFFFF),
+    ]).astype(jnp.uint32)
+    kernel = functools.partial(_regen_pdep2_win_kernel, window=window,
+                               mask_hi=int(mask_hi), mask_lo=int(mask_lo))
+    ospec = pl.BlockSpec((_BLOCK_SUBS, _SUB), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    oshape = jax.ShapeDtypeStruct((steps * _BLOCK_SUBS, _SUB), jnp.uint32)
+    hi, lo = pl.pallas_call(
+        kernel,
+        grid=(steps,),
+        in_specs=[
+            pl.BlockSpec((bins + window, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((steps, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[ospec, ospec],
+        out_shape=[oshape, oshape],
+        interpret=_want_interpret(),
+    )(cum_pad.reshape(bins + window, 1), starts.reshape(steps, 1),
+      dead.reshape(2))
+    return hi.reshape(-1)[:n], lo.reshape(-1)[:n]

@@ -160,3 +160,58 @@ def test_counting_compact_windowed_tier(rng):
         x = rng.integers(0, bins, size=120_000, dtype=np.uint32)
         out = np.asarray(counting_sort_compact(jnp.asarray(x), bins))
         assert np.array_equal(out, np.sort(x))
+
+
+def test_regenerate_pdep_windowed(rng):
+    # fused windowed regen: PDEP + dead-bit restore, wide masked domain
+    from radix_sorting_tpu.ops.pallas_kernels import (
+        histogram_pext_tpu, regen_windows_fit, regenerate_pdep_windowed_tpu)
+    mask = 0xF0F0F000  # 12 live bits -> 4096 bins
+    n = 500_000
+    dead = np.uint32(0x01010041)
+    x = ((rng.integers(0, 1 << 32, size=n, dtype=np.uint32) & np.uint32(mask))
+         | dead)
+    hist = np.asarray(histogram_pext_tpu(jnp.asarray(x), mask))
+    cum = jnp.cumsum(jnp.asarray(hist), dtype=jnp.int32)
+    assert bool(regen_windows_fit(cum, n))
+    out = np.asarray(regenerate_pdep_windowed_tpu(
+        cum, n, 1 << 12, mask, jnp.asarray(x)[0]))
+    assert np.array_equal(out, np.sort(x))
+
+
+def test_regenerate_pdep2_windowed(rng):
+    # two-plane (64-bit) fused windowed regen across a split mask
+    from radix_sorting_tpu.ops.pallas_kernels import (
+        histogram_pext2_tpu, regen_windows_fit, regenerate_pdep2_windowed_tpu)
+    mask_hi, mask_lo = 0x00000F00, 0xFF000001  # 4 + 9 = 13 live bits
+    n = 800_000
+    hi = (rng.integers(0, 1 << 32, size=n, dtype=np.uint32)
+          & np.uint32(mask_hi)) | np.uint32(0x10000000)
+    lo = (rng.integers(0, 1 << 32, size=n, dtype=np.uint32)
+          & np.uint32(mask_lo)) | np.uint32(0x00000100)
+    hist = np.asarray(histogram_pext2_tpu(jnp.asarray(hi), jnp.asarray(lo),
+                                          mask_hi, mask_lo))
+    cum = jnp.cumsum(jnp.asarray(hist), dtype=jnp.int32)
+    assert bool(regen_windows_fit(cum, n))
+    shi, slo = regenerate_pdep2_windowed_tpu(
+        cum, n, 1 << 13, mask_hi, mask_lo, jnp.asarray(hi)[0],
+        jnp.asarray(lo)[0])
+    # oracle: lexicographic (hi, lo) sort
+    comp = hi.astype(np.uint64) << np.uint64(32) | lo.astype(np.uint64)
+    order = np.argsort(comp, kind="stable")
+    assert np.array_equal(np.asarray(shi), hi[order])
+    assert np.array_equal(np.asarray(slo), lo[order])
+
+
+def test_sort_words_counting_windowed_masked(rng):
+    # engine-level: 13-live-bit masked u32 through sort_words_counting
+    from radix_sorting_tpu.ops.counting_engine import sort_words_counting
+    mask = 0x000FFF80 & 0xFFFFF80  # 13 bits
+    mask = 0x1FFF << 7
+    n = 700_000
+    x = rng.integers(0, 1 << 32, size=n, dtype=np.uint32) & np.uint32(mask)
+    (out,) = sort_words_counting((jnp.asarray(x),), (mask,))
+    assert np.array_equal(np.asarray(out), np.sort(x))
+    # descending falls through the generic complemented path
+    (outd,) = sort_words_counting((jnp.asarray(x),), (mask,), descending=True)
+    assert np.array_equal(np.asarray(outd), np.sort(x)[::-1])
