@@ -240,21 +240,24 @@ def nth_element(x, ranks, *, config: SortConfig = DEFAULT_CONFIG):
     ``ranks`` is a static sequence of ints in [0, n); rank order follows
     ``config.descending``. The single-chip counterpart of
     :func:`..parallel.distributed_select` (which needs no full sort); on one
-    chip the sorter IS the cheapest selection engine, so this sorts once and
-    takes. Returns a (len(ranks),) array of x's dtype.
+    chip a full sort IS the cheapest selection engine, so this runs the
+    whole strategy-dispatched sort (counting tiers included — narrow
+    domains select at regeneration speed) and takes. Returns a
+    (len(ranks),) array of x's dtype.
     """
-    from .api import _as_words, _decode
+    from . import api
 
-    words, dtype = _as_words(x, config.descending)
-    n = int(words[0].shape[0])
+    n = int(jnp.shape(x)[0]) if np.ndim(x) == 1 else -1
+    if n < 0:
+        raise ValueError(f"keys must be 1-D, got shape {jnp.shape(x)}")
     ranks = [int(r) for r in ranks]
     if not ranks:
         raise ValueError("ranks must be non-empty")
     if not all(0 <= r < n for r in ranks):
         raise ValueError(f"ranks must be in [0, {n})")
-    sw, _ = hw_engine.sort_words(tuple(words), (), stable=False)
-    idx = jnp.asarray(ranks, dtype=jnp.int32)
-    return _decode(tuple(w[idx] for w in sw), dtype, config.descending)
+    s = api.sort(x, config=config)
+    idx = np.asarray(ranks, dtype=np.int32)
+    return s[idx] if isinstance(s, np.ndarray) else s[jnp.asarray(idx)]
 
 
 def top_k(x, k: int, *, largest: bool = True, index_dtype=jnp.uint32):

@@ -78,12 +78,16 @@ def counting_sort_compact(c: jax.Array, bins: int, block: int = 1 << 20) -> jax.
                                          regenerate_windowed_tpu)
             hist = histogram_tpu(c, 0, radix_bits=bins.bit_length() - 1)
             cum = jnp.cumsum(hist, dtype=jnp.int32)
-            return lax.cond(
+            # optimization_barrier: without it XLA can fuse downstream
+            # consumers (e.g. a strided slice) into the cond branch and then
+            # stack-allocates the Pallas output in scoped VMEM — a compile
+            # OOM at 10M-class sizes (caught by the bench-suite size sweep)
+            return lax.optimization_barrier(lax.cond(
                 regen_windows_fit(cum, n),
                 lambda: regenerate_windowed_tpu(cum, n, bins),
                 lambda: lax.sort((c,), dimension=0, is_stable=False,
                                  num_keys=1)[0],
-            )
+            ))
         (s,) = lax.sort((c,), dimension=0, is_stable=False, num_keys=1)
         return s
     # bins >= 4: a 2-bin factored one-hot has a single-lane half Mosaic
@@ -172,13 +176,15 @@ def sort_words_counting(words, masks, descending: bool = False):
             if bins <= _REGEN_MAX_BINS:
                 return (regenerate_pdep_tpu(hist, n, masks[0], w[0]),)
             cum = jnp.cumsum(hist, dtype=jnp.int32)
-            return (lax.cond(
+            # optimization_barrier: see counting_sort_compact note (scoped-
+            # VMEM stack OOM when consumers fuse into the cond branch)
+            return (lax.optimization_barrier(lax.cond(
                 regen_windows_fit(cum, n),
                 lambda: regenerate_pdep_windowed_tpu(cum, n, bins, masks[0],
                                                      w[0]),
                 lambda: lax.sort((w,), dimension=0, is_stable=False,
                                  num_keys=1)[0],
-            ),)
+            )),)
         if len(words) == 2:
             from .pallas_kernels import (histogram_pext2_tpu,
                                          regen_windows_fit,
@@ -192,13 +198,14 @@ def sort_words_counting(words, masks, descending: bool = False):
                     hist, n, masks[0], masks[1], hi[0], lo[0])
                 return (shi, slo)
             cum = jnp.cumsum(hist, dtype=jnp.int32)
-            return tuple(lax.cond(
+            # optimization_barrier: see counting_sort_compact note
+            return tuple(lax.optimization_barrier(lax.cond(
                 regen_windows_fit(cum, n),
                 lambda: regenerate_pdep2_windowed_tpu(
                     cum, n, bins, masks[0], masks[1], hi[0], lo[0]),
                 lambda: tuple(lax.sort((hi, lo), dimension=0, is_stable=False,
                                        num_keys=2)),
-            ))
+            )))
 
     # merge plane compactions LSW-first so the MSW plane takes the high bits
     merged = jnp.zeros_like(words[0])

@@ -515,42 +515,71 @@ def regenerate_tpu(hist: jax.Array, n: int) -> jax.Array:
 _REGEN_WINDOW = 1024  # bins per window: same per-element cost as the
                       # plain-regeneration gate (_REGEN_MAX_BINS)
 
+# The windowed kernels keep the 64K-element block of the other kernels but
+# split it as 16 x 4096 lanes instead of 8 x 8192: the (window, lane-row)
+# bf16 compare intermediate is then 8 MB instead of 16.8 MB, which — with
+# the pre-gathered per-block cum windows (see `_gather_windows`) — keeps
+# the kernel's scoped-vmem footprint safely under the 16 MB limit at every
+# n (a 10M-element case OOMed with the wide rows + whole-cum layout —
+# caught by the bench-suite size sweep).
+_SUB_W = 4096
+_BLOCK_SUBS_W = 16
 
-def _regen_win_kernel(cum_ref, starts_ref, o_ref, *, window):
+
+def _regen_win_kernel(starts_ref, cumw_ref, o_ref, *, window):
     """out[j] = #{b : cum[b] <= j}, windowed.
 
-    cum_ref: (bins + window, 1) int32 — inclusive cumulative histogram padded
-    with int32-max sentinels so every window slice is in bounds;
+    cumw_ref: (1, window, 1) int32 block — this output block's slice of the
+    cumulative histogram (pre-gathered by `_gather_windows`);
     starts_ref: (steps, 1) int32 — first bin whose cum exceeds the block's
     base position (all earlier bins are counted wholesale);
-    o_ref: (_BLOCK_SUBS, _SUB) uint32 output block.
+    o_ref: (_BLOCK_SUBS_W, _SUB_W) uint32 output block.
     """
     step = pl.program_id(0)
     s = starts_ref[step, 0]
-    cumw = cum_ref[pl.ds(s, window), :]                    # (window, 1) int32
-    base = step * (_BLOCK_SUBS * _SUB)
+    cumw = cumw_ref[0]                                     # (window, 1) int32
+    base = step * (_BLOCK_SUBS_W * _SUB_W)
     ones_row = jnp.ones((1, window), jnp.bfloat16)
 
     def body(r, _):
-        j = base + r * _SUB + lax.broadcasted_iota(jnp.int32, (1, _SUB), 1)
-        emitted = (cumw <= j).astype(jnp.bfloat16)         # (window, _SUB)
+        j = base + r * _SUB_W + lax.broadcasted_iota(jnp.int32, (1, _SUB_W), 1)
+        emitted = (cumw <= j).astype(jnp.bfloat16)         # (window, _SUB_W)
         v = jax.lax.dot_general(
             ones_row, emitted,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )                                                  # (1, _SUB) exact
+        )                                                  # (1, _SUB_W) exact
         o_ref[pl.ds(r, 1), :] = (s + v.astype(jnp.int32)).astype(jnp.uint32)
         return 0
 
-    lax.fori_loop(0, _BLOCK_SUBS, body, 0)
+    lax.fori_loop(0, _BLOCK_SUBS_W, body, 0)
 
 
 def _regen_win_starts(cum, n_pad: int):
     """Per-block window starts: #bins with cum <= block base position."""
-    block_elems = _BLOCK_SUBS * _SUB
+    block_elems = _BLOCK_SUBS_W * _SUB_W
     steps = n_pad // block_elems
     bases = jnp.arange(steps, dtype=jnp.int32) * block_elems
     return jnp.searchsorted(cum, bases, side="right").astype(jnp.int32)
+
+
+def _gather_windows(cum_pad, starts, window: int):
+    """[steps, window, 1] per-block cum slices.
+
+    Built OUTSIDE the kernel with a scan of dynamic slices (steps = n/64K,
+    so this is a few hundred 4 KB copies — ~1 ms at 40M). The kernel then
+    sees each window as a (window, 1) VMEM block — the layout the plain
+    regeneration kernel already proves out. Passing the whole padded cum as
+    a (bins+window, 1) block instead lays out as (8,128) tiles whose
+    single-lane minor dim pads x128: at 2^16 bins that is 66560*128*4 B =
+    32.5 MB of scoped VMEM, over the 16 MB limit (a compile OOM the
+    bench-suite size sweep caught).
+    """
+    def step_fn(carry, st):
+        return carry, lax.dynamic_slice(cum_pad, (st,), (window,))
+
+    _, win = lax.scan(step_fn, 0, starts)
+    return win.reshape(starts.shape[0], window, 1)
 
 
 def regen_windows_fit(cum, n: int, window: int = _REGEN_WINDOW) -> jax.Array:
@@ -560,7 +589,7 @@ def regen_windows_fit(cum, n: int, window: int = _REGEN_WINDOW) -> jax.Array:
     cum <= block base); callers gate `regenerate_windowed_tpu` on this with
     `lax.cond` (sorter fallback), keeping the whole dispatch on device.
     """
-    block_elems = _BLOCK_SUBS * _SUB
+    block_elems = _BLOCK_SUBS_W * _SUB_W
     n_pad = -(-n // block_elems) * block_elems
     starts = _regen_win_starts(cum, n_pad)
     block_ends = (jnp.arange(n_pad // block_elems, dtype=jnp.int32) + 1) \
@@ -576,7 +605,7 @@ def regenerate_windowed_tpu(cum, n, bins, window: int = _REGEN_WINDOW):
     cum: (bins,) int32 inclusive cumulative histogram. Only valid when
     `regen_windows_fit(cum, n, window)` holds — gate with `lax.cond`.
     """
-    block_elems = _BLOCK_SUBS * _SUB
+    block_elems = _BLOCK_SUBS_W * _SUB_W
     n_pad = -(-n // block_elems) * block_elems
     steps = n_pad // block_elems
     starts = _regen_win_starts(cum, n_pad)
@@ -584,37 +613,39 @@ def regenerate_windowed_tpu(cum, n, bins, window: int = _REGEN_WINDOW):
     cum_pad = jnp.concatenate(
         [cum.astype(jnp.int32), jnp.full((window,), jnp.iinfo(jnp.int32).max,
                                          jnp.int32)])
+    cumw = _gather_windows(cum_pad, starts, window)
     kernel = functools.partial(_regen_win_kernel, window=window)
     out = pl.pallas_call(
         kernel,
         grid=(steps,),
         in_specs=[
-            pl.BlockSpec((bins + window, 1), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((steps, 1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, window, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((_BLOCK_SUBS, _SUB), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((_BLOCK_SUBS_W, _SUB_W), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((steps * _BLOCK_SUBS, _SUB), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((steps * _BLOCK_SUBS_W, _SUB_W),
+                                       jnp.uint32),
         interpret=_want_interpret(),
-    )(cum_pad.reshape(bins + window, 1), starts.reshape(steps, 1))
+    )(starts.reshape(steps, 1), cumw)
     return out.reshape(-1)[:n]
 
 
-def _regen_pdep_win_kernel(cum_ref, starts_ref, dead_ref, o_ref, *, window,
+def _regen_pdep_win_kernel(starts_ref, cumw_ref, dead_ref, o_ref, *, window,
                            mask):
     """Windowed regeneration with PDEP + dead-bit restore fused into the
     output write (the wide-domain form of `_regen_pdep_kernel`)."""
     step = pl.program_id(0)
     s = starts_ref[step, 0]
-    cumw = cum_ref[pl.ds(s, window), :]
+    cumw = cumw_ref[0]
     dead = dead_ref[0]
-    base = step * (_BLOCK_SUBS * _SUB)
+    base = step * (_BLOCK_SUBS_W * _SUB_W)
     ones_row = jnp.ones((1, window), jnp.bfloat16)
 
     def body(r, _):
-        j = base + r * _SUB + lax.broadcasted_iota(jnp.int32, (1, _SUB), 1)
+        j = base + r * _SUB_W + lax.broadcasted_iota(jnp.int32, (1, _SUB_W), 1)
         emitted = (cumw <= j).astype(jnp.bfloat16)
         v = (s + jax.lax.dot_general(
             ones_row, emitted, dimension_numbers=(((1,), (0,)), ((), ())),
@@ -623,7 +654,7 @@ def _regen_pdep_win_kernel(cum_ref, starts_ref, dead_ref, o_ref, *, window,
         o_ref[pl.ds(r, 1), :] = _pdep_rows(v, mask) | dead
         return 0
 
-    lax.fori_loop(0, _BLOCK_SUBS, body, 0)
+    lax.fori_loop(0, _BLOCK_SUBS_W, body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("n", "bins", "mask", "window"))
@@ -633,13 +664,14 @@ def regenerate_pdep_windowed_tpu(cum, n, bins, mask, dead_word,
 
     Only valid when `regen_windows_fit(cum, n, window)` holds — gate with
     `lax.cond` (raw-plane sorter fallback)."""
-    block_elems = _BLOCK_SUBS * _SUB
+    block_elems = _BLOCK_SUBS_W * _SUB_W
     n_pad = -(-n // block_elems) * block_elems
     steps = n_pad // block_elems
     starts = _regen_win_starts(cum, n_pad)
     cum_pad = jnp.concatenate(
         [cum.astype(jnp.int32), jnp.full((window,), jnp.iinfo(jnp.int32).max,
                                          jnp.int32)])
+    cumw = _gather_windows(cum_pad, starts, window)
     dead = (dead_word & np.uint32(~int(mask) & 0xFFFFFFFF)).astype(jnp.uint32)
     kernel = functools.partial(_regen_pdep_win_kernel, window=window,
                                mask=int(mask))
@@ -647,35 +679,35 @@ def regenerate_pdep_windowed_tpu(cum, n, bins, mask, dead_word,
         kernel,
         grid=(steps,),
         in_specs=[
-            pl.BlockSpec((bins + window, 1), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((steps, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, window, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((_BLOCK_SUBS, _SUB), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((_BLOCK_SUBS_W, _SUB_W), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((steps * _BLOCK_SUBS, _SUB), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((steps * _BLOCK_SUBS_W, _SUB_W),
+                                       jnp.uint32),
         interpret=_want_interpret(),
-    )(cum_pad.reshape(bins + window, 1), starts.reshape(steps, 1),
-      dead.reshape(1))
+    )(starts.reshape(steps, 1), cumw, dead.reshape(1))
     return out.reshape(-1)[:n]
 
 
-def _regen_pdep2_win_kernel(cum_ref, starts_ref, dead_ref, ohi_ref, olo_ref,
+def _regen_pdep2_win_kernel(starts_ref, cumw_ref, dead_ref, ohi_ref, olo_ref,
                             *, window, mask_hi, mask_lo):
     """Two-plane windowed regeneration (64-bit masked keys, one write each)."""
     step = pl.program_id(0)
     s = starts_ref[step, 0]
-    cumw = cum_ref[pl.ds(s, window), :]
+    cumw = cumw_ref[0]
     dead_hi = dead_ref[0]
     dead_lo = dead_ref[1]
     nb_lo = bin(mask_lo).count("1")
-    base = step * (_BLOCK_SUBS * _SUB)
+    base = step * (_BLOCK_SUBS_W * _SUB_W)
     ones_row = jnp.ones((1, window), jnp.bfloat16)
 
     def body(r, _):
-        j = base + r * _SUB + lax.broadcasted_iota(jnp.int32, (1, _SUB), 1)
+        j = base + r * _SUB_W + lax.broadcasted_iota(jnp.int32, (1, _SUB_W), 1)
         emitted = (cumw <= j).astype(jnp.bfloat16)
         v = (s + jax.lax.dot_general(
             ones_row, emitted, dimension_numbers=(((1,), (0,)), ((), ())),
@@ -687,7 +719,7 @@ def _regen_pdep2_win_kernel(cum_ref, starts_ref, dead_ref, ohi_ref, olo_ref,
                                              mask_hi) | dead_hi
         return 0
 
-    lax.fori_loop(0, _BLOCK_SUBS, body, 0)
+    lax.fori_loop(0, _BLOCK_SUBS_W, body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("n", "bins", "mask_hi", "mask_lo",
@@ -696,35 +728,35 @@ def regenerate_pdep2_windowed_tpu(cum, n, bins, mask_hi, mask_lo,
                                   dead_hi_word, dead_lo_word,
                                   window: int = _REGEN_WINDOW):
     """Fused two-plane windowed regeneration; gate with `regen_windows_fit`."""
-    block_elems = _BLOCK_SUBS * _SUB
+    block_elems = _BLOCK_SUBS_W * _SUB_W
     n_pad = -(-n // block_elems) * block_elems
     steps = n_pad // block_elems
     starts = _regen_win_starts(cum, n_pad)
     cum_pad = jnp.concatenate(
         [cum.astype(jnp.int32), jnp.full((window,), jnp.iinfo(jnp.int32).max,
                                          jnp.int32)])
+    cumw = _gather_windows(cum_pad, starts, window)
     dead = jnp.stack([
         dead_hi_word & np.uint32(~int(mask_hi) & 0xFFFFFFFF),
         dead_lo_word & np.uint32(~int(mask_lo) & 0xFFFFFFFF),
     ]).astype(jnp.uint32)
     kernel = functools.partial(_regen_pdep2_win_kernel, window=window,
                                mask_hi=int(mask_hi), mask_lo=int(mask_lo))
-    ospec = pl.BlockSpec((_BLOCK_SUBS, _SUB), lambda i: (i, 0),
+    ospec = pl.BlockSpec((_BLOCK_SUBS_W, _SUB_W), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
-    oshape = jax.ShapeDtypeStruct((steps * _BLOCK_SUBS, _SUB), jnp.uint32)
+    oshape = jax.ShapeDtypeStruct((steps * _BLOCK_SUBS_W, _SUB_W), jnp.uint32)
     hi, lo = pl.pallas_call(
         kernel,
         grid=(steps,),
         in_specs=[
-            pl.BlockSpec((bins + window, 1), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((steps, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, window, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=[ospec, ospec],
         out_shape=[oshape, oshape],
         interpret=_want_interpret(),
-    )(cum_pad.reshape(bins + window, 1), starts.reshape(steps, 1),
-      dead.reshape(2))
+    )(starts.reshape(steps, 1), cumw, dead.reshape(2))
     return hi.reshape(-1)[:n], lo.reshape(-1)[:n]
