@@ -28,6 +28,11 @@ BASELINE_MKEYS = 404.3  # reference best steady-state, BASELINE.md
 
 
 def main() -> int:
+    # PGO analog: reuse compiled executables across invocations (harmless
+    # when the backend cannot serialize; see utils/compile_cache.py)
+    from radix_sorting_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
+
     import jax
     import jax.numpy as jnp
     from jax import lax

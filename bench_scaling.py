@@ -62,6 +62,8 @@ def steady_ms(fn, x, reps):
 
 
 def main() -> int:
+    from radix_sorting_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-per-device", type=int, default=1 << 19,
                     help="keys per device (weak scaling; default 2^19 for "

@@ -64,6 +64,8 @@ def _steady_ms(fn, x, reps):
 
 
 def main() -> int:
+    from radix_sorting_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="only the top sizes")
     ap.add_argument("--out", default="report", help="report directory")

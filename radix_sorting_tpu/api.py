@@ -127,6 +127,54 @@ def _flatten_payload(values):
     return tuple(out), treedef
 
 
+def _validate_value_mask(x, dtype, value_mask: int) -> None:
+    """Raise when any key carries live bits outside ``value_mask``.
+
+    One OR-reduce plus a host sync — the opt-in check behind
+    ``validate_mask=True`` (the reference's masked experiment likewise
+    trusts pre-masked data, `radix_experiment.cpp:188-198`).
+    """
+    if isinstance(x, np.ndarray):
+        bits_or = int(np.bitwise_or.reduce(
+            np.ascontiguousarray(x).view(f"u{x.dtype.itemsize}")))
+    elif jnp.dtype(x.dtype).itemsize <= 4:
+        raw = jnp.asarray(x).view(jnp.dtype(f"uint{jnp.dtype(x.dtype).itemsize * 8}"))
+        bits_or = int(jnp.bitwise_or.reduce(raw.astype(jnp.uint32)))
+    else:
+        # 64-bit jax arrays (x64 enabled): validate on the raw bits of the
+        # two u32 planes of a fresh bitcast.
+        v = lax.bitcast_convert_type(jnp.asarray(x), jnp.uint32)  # (..., 2)
+        bits_or = (int(jnp.bitwise_or.reduce(v[..., 1].ravel())) << 32) \
+            | int(jnp.bitwise_or.reduce(v[..., 0].ravel()))
+    width_mask = (1 << (jnp.dtype(dtype).itemsize * 8)) - 1
+    stray = bits_or & ~int(value_mask) & width_mask
+    if stray:
+        raise ValueError(
+            f"value_mask violated: keys carry live bits 0x{stray:X} "
+            f"outside mask 0x{int(value_mask):X}"
+        )
+
+
+def _compaction_masks(words, value_mask, dtype,
+                      cfg: SortConfig) -> Optional[Tuple[int, ...]]:
+    """Per-plane masks when PEXT plane compaction pays for the sorter path.
+
+    Multi-word (64-bit) keys whose static ``value_mask`` leaves <= 32 live
+    bits sort as ONE compacted u32 operand instead of two planes — the
+    sorter is measured operand-width-bound (ROADMAP round-2 experiment 4),
+    so dropping an operand is a direct, distribution-independent win for
+    payload/rank sorts. Single-word keys gain nothing (already 1 operand).
+    The budget here is the 32-bit plane width, NOT ``counting_max_bits``
+    (no histogram is involved).
+    """
+    if len(words) != 2 or value_mask is None:
+        return None
+    if int(words[0].shape[0]) < 2:
+        return None          # dead-bit restore samples element 0
+    return _static_live_mask(words, value_mask, dtype,
+                             cfg.replace(counting_max_bits=32))
+
+
 def _static_live_mask(words, value_mask, dtype, cfg: SortConfig) -> Optional[Tuple[int, ...]]:
     """Static per-plane live-bit masks for the COUNTING path, or None.
 
@@ -193,25 +241,7 @@ def sort(x, *, config: SortConfig = DEFAULT_CONFIG, value_mask: Optional[int] = 
     if n <= 1:
         return x if not isinstance(x, np.ndarray) else x.copy()
     if value_mask is not None and validate_mask:
-        if isinstance(x, np.ndarray):
-            bits_or = int(np.bitwise_or.reduce(
-                np.ascontiguousarray(x).view(f"u{x.dtype.itemsize}")))
-        elif jnp.dtype(x.dtype).itemsize <= 4:
-            raw = jnp.asarray(x).view(jnp.dtype(f"uint{jnp.dtype(x.dtype).itemsize * 8}"))
-            bits_or = int(jnp.bitwise_or.reduce(raw.astype(jnp.uint32)))
-        else:
-            # 64-bit jax arrays (x64 enabled): validate on the raw bits of the
-            # two u32 planes of a fresh bitcast.
-            v = lax.bitcast_convert_type(jnp.asarray(x), jnp.uint32)  # (..., 2)
-            bits_or = (int(jnp.bitwise_or.reduce(v[..., 1].ravel())) << 32) \
-                | int(jnp.bitwise_or.reduce(v[..., 0].ravel()))
-        width_mask = (1 << (jnp.dtype(dtype).itemsize * 8)) - 1
-        stray = bits_or & ~int(value_mask) & width_mask
-        if stray:
-            raise ValueError(
-                f"value_mask violated: keys carry live bits 0x{stray:X} "
-                f"outside mask 0x{int(value_mask):X}"
-            )
+        _validate_value_mask(x, dtype, value_mask)
 
     strategy = cfg.strategy
     if strategy == Strategy.AUTO:
@@ -234,6 +264,18 @@ def sort(x, *, config: SortConfig = DEFAULT_CONFIG, value_mask: Optional[int] = 
         # *complemented* live bits, so pass the complemented mask
         if mask is not None:
             strategy = Strategy.COUNTING
+        elif cfg.device_probe and len(words) == 1:
+            from .ops.pallas_kernels import use_tpu_routes
+            if use_tpu_routes():
+                # in-graph range probe: `lax.cond` routes narrow-range data
+                # to the counting tier with NO host sync (see counting_engine
+                # .sort_word_range_probe); order/values restored by decode
+                # (the complemented word's range is the complement of the
+                # original's — the probe is order-agnostic).
+                sw = (counting_engine.sort_word_range_probe(
+                    words[0], guard=cfg.detect_presorted),)
+                return _decode(sw, dtype, cfg.descending)
+            strategy = Strategy.HW_SORT
         else:
             strategy = Strategy.HW_SORT
     elif strategy == Strategy.COUNTING:
@@ -258,27 +300,41 @@ def sort(x, *, config: SortConfig = DEFAULT_CONFIG, value_mask: Optional[int] = 
         )
         return _decode(sw, dtype, cfg.descending)
 
-    # HW_SORT; keys-only, so the unstable fast path is exact (see hw_engine)
+    # HW_SORT; keys-only, so the unstable fast path is exact (see hw_engine).
+    # Masked 64-bit keys past the counting budget still benefit from plane
+    # compaction: one merged sort operand instead of two planes.
+    cmasks = _compaction_masks(words, value_mask, dtype, cfg)
+    operands = words if cmasks is None \
+        else (probes.compact_word_planes(words, cmasks),)
     if cfg.detect_presorted:
-        sw, _ = hw_engine.sort_words_presort_guard(words, stable=False)
+        sw, _ = hw_engine.sort_words_presort_guard(operands, stable=False)
     else:
-        sw, _ = hw_engine.sort_words(words, stable=False)
+        sw, _ = hw_engine.sort_words(operands, stable=False)
+    if cmasks is not None:
+        sw = probes.expand_word_planes(sw[0], words, cmasks)
     return _decode(sw, dtype, cfg.descending)
 
 
-def argsort(x, *, config: SortConfig = DEFAULT_CONFIG, index_dtype=jnp.uint32):
+def argsort(x, *, config: SortConfig = DEFAULT_CONFIG, index_dtype=jnp.uint32,
+            value_mask: Optional[int] = None, validate_mask: bool = False):
     """Stable argsort: the rank/index sort (`radix_sort_rank.hpp:97-112`).
 
     The input is never modified (the reference takes ``const T* RESTRICT``);
     returns the unique stable permutation as ``index_dtype``.
+
+    ``value_mask`` (same promise as :func:`sort`) lets masked 64-bit keys
+    with <= 32 live bits rank with ONE compacted key operand instead of two
+    planes — a measured win on the operand-width-bound sorter.
     """
     cfg = config
-    words, _ = _as_words(x, cfg.descending)
+    words, dtype = _as_words(x, cfg.descending)
     n = int(words[0].shape[0])
     _check_index_width(n, index_dtype)
     iota = jnp.arange(n, dtype=index_dtype)
     if n <= 1:
         return iota
+    if value_mask is not None and validate_mask:
+        _validate_value_mask(x, dtype, value_mask)
 
     if cfg.strategy == Strategy.LSD:
         _, (perm,) = lsd_engine.sort_words_lsd(
@@ -286,14 +342,18 @@ def argsort(x, *, config: SortConfig = DEFAULT_CONFIG, index_dtype=jnp.uint32):
             skip_trivial=cfg.skip_trivial_digits,
         )
         return perm
+    cmasks = _compaction_masks(words, value_mask, dtype, cfg)
+    operands = words if cmasks is None \
+        else (probes.compact_word_planes(words, cmasks),)
     # The index rides as the LAST SORT KEY: (key, index) is strict, so the
     # unstable sorter yields exactly the stable permutation, measurably
     # faster than carrying the index as payload (see hw_engine.argsort_words).
     # The presorted predicate is unchanged by the appended increasing index.
     if cfg.detect_presorted:
-        sw, _ = hw_engine.sort_words_presort_guard(words + (iota,), stable=False)
+        sw, _ = hw_engine.sort_words_presort_guard(operands + (iota,),
+                                                   stable=False)
         return sw[-1]
-    _, perm = hw_engine.argsort_words(words, index_dtype=index_dtype)
+    _, perm = hw_engine.argsort_words(operands, index_dtype=index_dtype)
     return perm
 
 
@@ -301,13 +361,20 @@ def argsort(x, *, config: SortConfig = DEFAULT_CONFIG, index_dtype=jnp.uint32):
 rank_sort = argsort
 
 
-def sort_pairs(keys, values, *, config: SortConfig = DEFAULT_CONFIG):
+def sort_pairs(keys, values, *, config: SortConfig = DEFAULT_CONFIG,
+               value_mask: Optional[int] = None, validate_mask: bool = False):
     """Stable sort of keys carrying an arbitrary payload pytree of 1-D arrays.
 
     The record-sort capability (`counting_sort_rec_sk.c:14-41`,
     `radix_tests.cpp:45-69`): the reference sorts structs via a key-extraction
     function; the TPU-idiomatic equivalent is structure-of-arrays payload
     permutation in the same fused sort.
+
+    ``value_mask`` (same promise as :func:`sort`) lets masked 64-bit keys
+    with <= 32 live bits ship ONE compacted key operand through the stable
+    sorter instead of two planes. Compaction is a bijection on the masked
+    domain, so key equality — and with it the stable payload order — is
+    preserved exactly.
     """
     cfg = config
     words, dtype = _as_words(keys, cfg.descending)
@@ -315,16 +382,23 @@ def sort_pairs(keys, values, *, config: SortConfig = DEFAULT_CONFIG):
     n = int(words[0].shape[0])
     if n != (leaves[0].shape[0] if leaves else n):
         raise ValueError("keys and payload lengths differ")
+    if value_mask is not None and validate_mask:
+        _validate_value_mask(keys, dtype, value_mask)
 
+    cmasks = _compaction_masks(words, value_mask, dtype, cfg)
+    operands = words if cmasks is None \
+        else (probes.compact_word_planes(words, cmasks),)
     if cfg.strategy == Strategy.LSD:
         sw, sp = lsd_engine.sort_words_lsd(
-            words, leaves, radix_bits=cfg.radix_bits, chunk=cfg.lsd_chunk,
+            operands, leaves, radix_bits=cfg.radix_bits, chunk=cfg.lsd_chunk,
             skip_trivial=cfg.skip_trivial_digits,
         )
     elif cfg.detect_presorted:
-        sw, sp = hw_engine.sort_words_presort_guard(words, leaves)
+        sw, sp = hw_engine.sort_words_presort_guard(operands, leaves)
     else:
-        sw, sp = hw_engine.sort_words(words, leaves)
+        sw, sp = hw_engine.sort_words(operands, leaves)
+    if cmasks is not None:
+        sw = probes.expand_word_planes(sw[0], words, cmasks)
     sorted_keys = _decode(sw, dtype, cfg.descending)
     sorted_values = jax.tree.unflatten(treedef, sp) if treedef is not None else None
     return sorted_keys, sorted_values

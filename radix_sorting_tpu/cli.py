@@ -64,6 +64,12 @@ def _parse(argv):
 def main(argv=None) -> int:
     count, tname, mask, use_mmap = _parse(sys.argv[1:] if argv is None else argv)
 
+    # PGO analog (`Makefile:69-77`): persist compiled executables across CLI
+    # invocations so `first_call_ms` collapses to H2D + dispatch on repeat
+    # runs (measured on TPU: see PARITY row 15 / ROADMAP round 3).
+    from radix_sorting_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
+
     import jax.numpy as jnp
 
     import radix_sorting_tpu as rst

@@ -52,12 +52,14 @@ class SortConfig:
       descending: sort order. Implemented via derived-key complement
         (`README.md:566-574`), preserving stability.
       counting_max_bits: ceiling on live-domain width for the COUNTING path.
-        Default 16 (round 2): on TPU the windowed-regeneration tier
+        Default 17 (round 3): on TPU the windowed-regeneration tier
         (`ops/pallas_kernels.regenerate_windowed_tpu`) makes 2^11..2^16-bin
-        domains profitable, with an in-graph sorter fallback for
-        distributions whose output blocks would overrun the bin window; on
-        CPU and past 2^10 bins without TPU, the engine falls back to the
-        sorter internally, so the wider default is always safe.
+        domains profitable at every size the adaptive window admits, and
+        2^17-bin domains at >= 512 keys-per-bin (both measured,
+        scripts/exp_adaptive_window.py); the static (n, bins) gate and an
+        in-graph sorter fallback handle everything else, so the wider
+        default is always safe — on CPU or when the gate rejects, the
+        engine sorts the raw planes internally.
       lsd_chunk: elements per chunk in the LSD engine's tile decomposition
         (the distributed-memory generalization of `cnt[k]++`,
         `counting_sort_8s.c:23-34`).
@@ -72,16 +74,27 @@ class SortConfig:
         promise (dead bits are constant by measurement). Off by default:
         the host sync breaks async dispatch pipelines; turn on for
         low-entropy workloads called from Python.
+      device_probe: in AUTO strategy (keys-only, single-word keys on TPU),
+        dispatch IN-GRAPH on the measured key range: one fused min/max
+        reduce feeds a `lax.cond` that routes range-bounded data to the
+        counting tier (sort ``w - min``, add the offset back) and everything
+        else to the sorter — NO host sync, so async dispatch pipelines stay
+        intact (the fix for what keeps ``dynamic_probe`` off by default).
+        Off by default because data that is NOT narrow pays one extra
+        bandwidth-bound read (~7% on full-entropy 40M keys, measured —
+        see ROADMAP round 3); turn on when narrow-range inputs are
+        plausible. Valid with no promise: the range is measured, in-graph.
     """
 
     strategy: str = Strategy.AUTO
     radix_bits: int = 8
     descending: bool = False
-    counting_max_bits: int = 16
+    counting_max_bits: int = 17
     lsd_chunk: int = 8192
     detect_presorted: bool = True
     skip_trivial_digits: bool = True
     dynamic_probe: bool = False
+    device_probe: bool = False
 
     def __post_init__(self):
         if self.strategy not in Strategy.ALL:

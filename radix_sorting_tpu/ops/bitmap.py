@@ -25,7 +25,8 @@ __all__ = ["bitmap_unique_sort"]
 @partial(jax.jit, static_argnames=("domain_bits", "size", "fill_value"))
 def _bitmap_unique(x: jax.Array, domain_bits: int, size: int, fill_value: int):
     domain = 1 << domain_bits
-    if jax.default_backend() == "tpu" and x.shape[0] >= (1 << 16):
+    from .pallas_kernels import use_tpu_routes
+    if use_tpu_routes() and x.shape[0] >= (1 << 16):
         # presence from the factored-one-hot histogram: zero scatters (the
         # .at[].set presence write runs at the ~80 M elem/s gather/scatter
         # rate; the Pallas histogram streams keys at compute speed)

@@ -41,8 +41,10 @@ from jax import lax
 
 from . import probes
 from .histogram import digit_histogram
+from .pallas_kernels import use_tpu_routes
 
-__all__ = ["counting_sort_compact", "sort_word_counting", "sort_words_counting"]
+__all__ = ["counting_sort_compact", "sort_word_counting",
+           "sort_words_counting", "sort_word_range_probe", "probe_bins"]
 
 
 # Plain regeneration is O(bins) compares per output element, so it loses to
@@ -52,12 +54,48 @@ __all__ = ["counting_sort_compact", "sort_word_counting", "sort_words_counting"]
 _REGEN_MAX_BINS = 1 << 10
 
 # WINDOWED regeneration (round 2) extends the counting fast path to 2^16
-# bins on TPU: each output block compares only against the <=1024-bin
+# bins on TPU: each output block compares only against the small bin
 # window its positions can span (O(window)/element), with an in-graph
 # `lax.cond` sorter fallback for distributions whose blocks would overrun
 # the window (tiny n over a huge sparse domain). See
-# `pallas_kernels.regenerate_windowed_tpu`.
+# `pallas_kernels.regenerate_windowed_tpu`. Round 3: the window is sized
+# per call from the static (n, bins) span bound (`pick_window`) instead of
+# a fixed 1024, and the tier extends past 2^16 bins where both the window
+# fits and the density makes the histogram pay (see `_windowed_bins_ok`).
 _REGEN_WIN_MAX_BINS = 1 << 16
+_REGEN_WIDE_MAX_BINS = 1 << 17
+
+# Density floor for the WIDE tier (2^17 bins): the factored one-hot
+# histogram costs `bins` MXU MACs per element regardless of n, so the wide
+# domain only pays when keys-per-bin is high enough that histogram+regen
+# undercuts the sorter. Measured on v5e (scripts/exp_adaptive_window.py,
+# round 3): 2^17 is 1.01x the sorter at 305 keys/bin (40M) and 0.80x at
+# 1220 keys/bin (160M) — the floor sits between; 512 keeps only clear
+# wins. 2^18 loses at every density (its histogram alone, 2.9 ns/elem,
+# exceeds the sorter's per-element cost at any feasible n on this part),
+# hence the 2^17 cap. Re-probe on new parts: scripts/exp_sol_probe.py +
+# exp_adaptive_window.py.
+_WIDE_MIN_KEYS_PER_BIN = 512
+
+
+def _windowed_bins_ok(n: int, bins: int) -> bool:
+    """Static gate: is the windowed counting tier applicable at (n, bins)?
+
+    Power-of-two bins in (2^10, 2^17]; the trace-time span bound must fit
+    the max window (else even uniform data would always take the in-graph
+    sorter fallback — route statically and skip the histogram entirely);
+    past 2^16 bins additionally require the measured density floor.
+    """
+    if not (4 <= bins <= _REGEN_WIDE_MAX_BINS) or bins & (bins - 1):
+        return False
+    if bins <= _REGEN_MAX_BINS:
+        return False          # plain regeneration tier handles these
+    from .pallas_kernels import pick_window
+    if pick_window(n, bins) == 0:
+        return False
+    if bins > _REGEN_WIN_MAX_BINS and n < bins * _WIDE_MIN_KEYS_PER_BIN:
+        return False
+    return True
 
 
 @partial(jax.jit, static_argnames=("bins", "block"))
@@ -70,12 +108,13 @@ def counting_sort_compact(c: jax.Array, bins: int, block: int = 1 << 20) -> jax.
     ``_REGEN_MAX_BINS`` route to the hardware sorter, which is faster there
     (the counting *semantics* are unchanged — keys-only, values < bins).
     """
-    n = c.shape[0]
+    n = int(c.shape[0])
     if bins > _REGEN_MAX_BINS:
-        if (jax.default_backend() == "tpu" and bins <= _REGEN_WIN_MAX_BINS
-                and bins & (bins - 1) == 0 and bins >= 4):
-            from .pallas_kernels import (histogram_tpu, regen_windows_fit,
+        if use_tpu_routes() and _windowed_bins_ok(n, bins):
+            from .pallas_kernels import (histogram_tpu, pick_window,
+                                         regen_windows_fit,
                                          regenerate_windowed_tpu)
+            window = pick_window(n, bins)
             hist = histogram_tpu(c, 0, radix_bits=bins.bit_length() - 1)
             cum = jnp.cumsum(hist, dtype=jnp.int32)
             # optimization_barrier: without it XLA can fuse downstream
@@ -83,8 +122,8 @@ def counting_sort_compact(c: jax.Array, bins: int, block: int = 1 << 20) -> jax.
             # stack-allocates the Pallas output in scoped VMEM — a compile
             # OOM at 10M-class sizes (caught by the bench-suite size sweep)
             return lax.optimization_barrier(lax.cond(
-                regen_windows_fit(cum, n),
-                lambda: regenerate_windowed_tpu(cum, n, bins),
+                regen_windows_fit(cum, n, window),
+                lambda: regenerate_windowed_tpu(cum, n, bins, window),
                 lambda: lax.sort((c,), dimension=0, is_stable=False,
                                  num_keys=1)[0],
             ))
@@ -92,7 +131,7 @@ def counting_sort_compact(c: jax.Array, bins: int, block: int = 1 << 20) -> jax.
         return s
     # bins >= 4: a 2-bin factored one-hot has a single-lane half Mosaic
     # cannot lower; the XLA formulation is trivial at that size anyway
-    if jax.default_backend() == "tpu" and bins & (bins - 1) == 0 and bins >= 4:
+    if use_tpu_routes() and bins & (bins - 1) == 0 and bins >= 4:
         from .pallas_kernels import histogram_tpu, regenerate_tpu
         hist = histogram_tpu(c, 0, radix_bits=bins.bit_length() - 1)
         return regenerate_tpu(hist, n)
@@ -116,7 +155,76 @@ def counting_sort_compact(c: jax.Array, bins: int, block: int = 1 << 20) -> jax.
     return out[:n]
 
 
-def sort_word_counting(w: jax.Array, live_mask: int, descending: bool = False) -> jax.Array:
+def probe_bins(n: int) -> int:
+    """Widest counting domain the in-graph range probe can use at size n.
+
+    The probe's dense domain is a STATIC bin count (Pallas shapes), so pick
+    the largest power of two whose counting tier is applicable at this n:
+    2^16 when the windowed tier's span bound admits it (n >= ~8.4M), less
+    for smaller inputs, bottoming out at the always-applicable plain tier
+    (2^10). Wider domains catch more low-entropy inputs.
+    """
+    for bits in range(16, 10, -1):
+        if _windowed_bins_ok(n, 1 << bits):
+            return 1 << bits
+    return _REGEN_MAX_BINS
+
+
+def sort_word_range_probe(w: jax.Array, guard: bool = False) -> jax.Array:
+    """Keys-only sort of one derived word with IN-GRAPH low-entropy dispatch.
+
+    The device-side generalization of the reference's always-on histogram
+    probe (`radix_sort.hpp:64-70`, whose point is being cheap enough to run
+    unconditionally): one fused min/max reduce decides — on device, inside
+    the jitted program, with NO host sync — whether the key range fits a
+    dense counting domain. If so, the counting tier sorts ``w - min`` and
+    adds the offset back (a value-bounded domain needs no PEXT: the offset
+    makes it dense); otherwise the hardware sorter runs. Unlike
+    ``SortConfig.dynamic_probe`` (host-sync live-bit measurement) this
+    keeps async dispatch pipelines intact; the price on data that is NOT
+    narrow is one extra bandwidth-bound read (measured on v5e: see
+    ROADMAP round 3).
+
+    ``guard``: use the presorted-guarded sorter in the wide branch
+    (composes with ``detect_presorted``).
+    """
+    from .pallas_kernels import (histogram_tpu, pick_window,
+                                 regen_windows_fit, regenerate_tpu,
+                                 regenerate_windowed_tpu)
+    from . import hw_engine
+
+    n = int(w.shape[0])
+    bins = probe_bins(n)
+    radix_bits = bins.bit_length() - 1
+    mn = jnp.min(w)
+    mx = jnp.max(w)
+
+    def sorter():
+        if guard:
+            (s,), _ = hw_engine.sort_words_presort_guard((w,), stable=False)
+            return s
+        return lax.sort((w,), dimension=0, is_stable=False, num_keys=1)[0]
+
+    def narrow():
+        c = w - mn
+        hist = histogram_tpu(c, 0, radix_bits=radix_bits)
+        if bins <= _REGEN_MAX_BINS:
+            return regenerate_tpu(hist, n) + mn
+        window = pick_window(n, bins)
+        cum = jnp.cumsum(hist, dtype=jnp.int32)
+        return lax.cond(
+            regen_windows_fit(cum, n, window),
+            lambda: regenerate_windowed_tpu(cum, n, bins, window) + mn,
+            sorter,
+        )
+
+    # optimization_barrier: see counting_sort_compact note
+    return lax.optimization_barrier(
+        lax.cond(mx - mn < jnp.uint32(bins), narrow, sorter))
+
+
+def sort_word_counting(w: jax.Array, live_mask: int,
+                       descending: bool = False) -> jax.Array:
     """Keys-only sort of a single derived-key word with a *static* live-bit mask.
 
     ``live_mask`` is the static OR^AND live-bit mask (host int). The number of
@@ -147,10 +255,13 @@ def sort_words_counting(words, masks, descending: bool = False):
     nbits = sum(bin(m).count("1") for m in masks)
     assert nbits <= 32, "compacted live bits must fit one u32 word"
     bins = 1 << nbits
+    n_keys = int(words[0].shape[0])
     # Past the plain-regeneration budget, TPU still has the windowed tier
     # (compact -> counting_sort_compact's windowed regen, with its own
-    # in-graph sorter fallback) up to 2^16 bins; elsewhere, sort raw planes.
-    win_ok = (jax.default_backend() == "tpu" and bins <= _REGEN_WIN_MAX_BINS)
+    # in-graph sorter fallback) where the static (n, bins) gate admits it;
+    # elsewhere, sort raw planes.
+    win_ok = (use_tpu_routes()
+              and _windowed_bins_ok(n_keys, bins))
     if bins > _REGEN_MAX_BINS and not win_ok:
         # Sorter fallback: sort the raw planes directly — skips PEXT/PDEP.
         # Keys-only: a descending result is the ascending result reversed.
@@ -164,9 +275,9 @@ def sort_words_counting(words, masks, descending: bool = False):
     # on the window-fit check with a raw-plane sorter fallback.
     # nbits >= 2: Mosaic cannot lower the degenerate one-hot of a single-lane
     # (L=1) factored histogram; 2-bin domains use the XLA path (trivial there)
-    if not descending and nbits >= 2 and jax.default_backend() == "tpu":
+    if not descending and nbits >= 2 and use_tpu_routes():
         if len(words) == 1 and masks[0]:
-            from .pallas_kernels import (histogram_pext_tpu,
+            from .pallas_kernels import (histogram_pext_tpu, pick_window,
                                          regen_windows_fit,
                                          regenerate_pdep_tpu,
                                          regenerate_pdep_windowed_tpu)
@@ -175,18 +286,19 @@ def sort_words_counting(words, masks, descending: bool = False):
             hist = histogram_pext_tpu(w, masks[0])
             if bins <= _REGEN_MAX_BINS:
                 return (regenerate_pdep_tpu(hist, n, masks[0], w[0]),)
+            window = pick_window(n, bins)
             cum = jnp.cumsum(hist, dtype=jnp.int32)
             # optimization_barrier: see counting_sort_compact note (scoped-
             # VMEM stack OOM when consumers fuse into the cond branch)
             return (lax.optimization_barrier(lax.cond(
-                regen_windows_fit(cum, n),
+                regen_windows_fit(cum, n, window),
                 lambda: regenerate_pdep_windowed_tpu(cum, n, bins, masks[0],
-                                                     w[0]),
+                                                     w[0], window),
                 lambda: lax.sort((w,), dimension=0, is_stable=False,
                                  num_keys=1)[0],
             )),)
         if len(words) == 2:
-            from .pallas_kernels import (histogram_pext2_tpu,
+            from .pallas_kernels import (histogram_pext2_tpu, pick_window,
                                          regen_windows_fit,
                                          regenerate_pdep2_tpu,
                                          regenerate_pdep2_windowed_tpu)
@@ -197,38 +309,23 @@ def sort_words_counting(words, masks, descending: bool = False):
                 shi, slo = regenerate_pdep2_tpu(
                     hist, n, masks[0], masks[1], hi[0], lo[0])
                 return (shi, slo)
+            window = pick_window(n, bins)
             cum = jnp.cumsum(hist, dtype=jnp.int32)
             # optimization_barrier: see counting_sort_compact note
             return tuple(lax.optimization_barrier(lax.cond(
-                regen_windows_fit(cum, n),
+                regen_windows_fit(cum, n, window),
                 lambda: regenerate_pdep2_windowed_tpu(
-                    cum, n, bins, masks[0], masks[1], hi[0], lo[0]),
+                    cum, n, bins, masks[0], masks[1], hi[0], lo[0], window),
                 lambda: tuple(lax.sort((hi, lo), dimension=0, is_stable=False,
                                        num_keys=2)),
             )))
 
-    # merge plane compactions LSW-first so the MSW plane takes the high bits
-    merged = jnp.zeros_like(words[0])
-    shift = 0
-    for w, m in zip(reversed(words), reversed(masks)):
-        if m:
-            merged = merged | (probes.compact_live_bits(w, m) << np.uint32(shift))
-            shift += bin(m).count("1")
-    c = merged
+    # merge plane compactions so the MSW plane takes the high bits; the
+    # descending complement happens in compacted space (dead bits constant)
+    c = probes.compact_word_planes(words, masks)
     if descending:
         c = np.uint32(bins - 1) - c
     s = counting_sort_compact(c, bins)
     if descending:
         s = np.uint32(bins - 1) - s
-
-    out = []
-    shift = nbits
-    for w, m in zip(words, masks):
-        nb = bin(m).count("1")
-        shift -= nb
-        plane = probes.expand_live_bits((s >> np.uint32(shift)) & np.uint32((1 << nb) - 1), m) \
-            if m else jnp.zeros_like(s)
-        # Restore the constant (dead) bits, identical across all keys.
-        dead = w[0] & np.uint32(~m & 0xFFFFFFFF)
-        out.append(plane | dead)
-    return tuple(out)
+    return probes.expand_word_planes(s, words, masks)

@@ -108,7 +108,8 @@ def multi_digit_histogram(words: Sequence[jax.Array], radix_bits: int) -> jax.Ar
     reductions, :mod:`.pallas_kernels`); elsewhere XLA fuses the per-pass
     compare/reduce trees over a single input stream.
     """
-    if jax.default_backend() == "tpu" and len(words) == 1:
+    from .pallas_kernels import use_tpu_routes
+    if use_tpu_routes() and len(words) == 1:
         from .pallas_kernels import multi_digit_histogram_tpu
         return multi_digit_histogram_tpu(words[0], radix_bits)
     nwords = len(words)

@@ -32,6 +32,7 @@ public wrappers in :mod:`.histogram` remain the XLA fallback.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -40,8 +41,9 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["histogram_tpu", "multi_digit_histogram_tpu", "regenerate_tpu",
-           "regenerate_windowed_tpu", "regen_windows_fit",
+__all__ = ["use_tpu_routes",
+           "histogram_tpu", "multi_digit_histogram_tpu", "regenerate_tpu",
+           "regenerate_windowed_tpu", "regen_windows_fit", "pick_window",
            "regenerate_pdep_windowed_tpu", "regenerate_pdep2_windowed_tpu",
            "histogram_pext_tpu", "regenerate_pdep_tpu",
            "histogram_pext2_tpu", "regenerate_pdep2_tpu"]
@@ -50,8 +52,38 @@ _SUB = 8192          # elements per sub-chunk (lane-row length); tuned on v5e
 _BLOCK_SUBS = 8      # sub-chunks per grid step (64K elements per step)
 
 
+def _hist_layout(radix_bits: int):
+    """(sub, block_subs) for the factored-one-hot histogram kernels.
+
+    The (H, sub)/(L, sub) bf16 one-hot tiles must fit scoped VMEM alongside
+    the (H, L) int32 accumulator; past 16-bit digits the half-one-hots at
+    sub=8192 alone exceed the ~16 MB budget (H=512 -> 8 MB each), so wide
+    digits shrink the lane row and raise the sub count to keep the grid
+    block at 64K elements (the `_pad_keys` granularity for every layout).
+    """
+    if radix_bits <= 16:
+        return _SUB, _BLOCK_SUBS            # one-hots <= 4 MB
+    if radix_bits <= 18:
+        return 4096, 16                     # H,L <= 512: one-hots <= 4 MB
+    return 2048, 32                         # H,L <= 1024: one-hots <= 4 MB
+
+
 def _want_interpret() -> bool:
     return jax.default_backend() not in ("tpu",)
+
+
+def use_tpu_routes() -> bool:
+    """True when the TPU dispatch graph should be built.
+
+    On the TPU backend always; anywhere else when ``RST_FORCE_TPU_ROUTES=1``
+    — the Pallas kernels then run in interpret mode, so CI exercises the
+    REAL dispatch graph (including the in-graph `lax.cond` sparse-input
+    sorter fallbacks) instead of the XLA substitute paths that only exist
+    for non-TPU backends. The env var is read per call, so a test can flip
+    it without reimporting.
+    """
+    return (jax.default_backend() == "tpu"
+            or os.environ.get("RST_FORCE_TPU_ROUTES", "") == "1")
 
 
 def _split_bits(radix_bits: int):
@@ -60,10 +92,10 @@ def _split_bits(radix_bits: int):
     return hi, lo
 
 
-def _hist_kernel(x_ref, o_ref, *, shifts, radix_bits, valid_n):
+def _hist_kernel(x_ref, o_ref, *, shifts, radix_bits, valid_n, sub, block_subs):
     """Accumulate factored digit histograms of one block.
 
-    x_ref: (_BLOCK_SUBS, _SUB) uint32 keys;
+    x_ref: (block_subs, sub) uint32 keys;
     o_ref: (2^hi_bits, 2^lo_bits * num_passes) int32.
     """
     hi_bits, lo_bits = _split_bits(radix_bits)
@@ -78,19 +110,19 @@ def _hist_kernel(x_ref, o_ref, *, shifts, radix_bits, valid_n):
 
     hiv = lax.broadcasted_iota(jnp.uint32, (H, 1), 0)
     lov = lax.broadcasted_iota(jnp.uint32, (L, 1), 0)
-    base = step * (_BLOCK_SUBS * _SUB)
+    base = step * (block_subs * sub)
 
     def body(s, _):
-        row = x_ref[pl.ds(s, 1), :]                      # (1, _SUB) uint32
-        eidx = base + s * _SUB + lax.broadcasted_iota(jnp.int32, (1, _SUB), 1)
-        in_range = eidx < valid_n                        # (1, _SUB)
+        row = x_ref[pl.ds(s, 1), :]                      # (1, sub) uint32
+        eidx = base + s * sub + lax.broadcasted_iota(jnp.int32, (1, sub), 1)
+        in_range = eidx < valid_n                        # (1, sub)
         for p, shift in enumerate(shifts):
             d_lo = (row >> np.uint32(shift)) & lomask
             d_hi = (row >> np.uint32(shift + lo_bits)) & himask
             # invalidate padding through the hi half (zero product suffices)
             d_hi = jnp.where(in_range, d_hi, np.uint32(H))
-            hi_oh = (hiv == d_hi).astype(jnp.bfloat16)   # (H, _SUB)
-            lo_oh = (lov == d_lo).astype(jnp.bfloat16)   # (L, _SUB)
+            hi_oh = (hiv == d_hi).astype(jnp.bfloat16)   # (H, sub)
+            lo_oh = (lov == d_lo).astype(jnp.bfloat16)   # (L, sub)
             partial = jax.lax.dot_general(
                 hi_oh, lo_oh,
                 dimension_numbers=(((1,), (1,)), ((), ())),
@@ -99,30 +131,32 @@ def _hist_kernel(x_ref, o_ref, *, shifts, radix_bits, valid_n):
             o_ref[:, pl.ds(p * L, L)] += partial.astype(jnp.int32)
         return 0
 
-    lax.fori_loop(0, _BLOCK_SUBS, body, 0)
+    lax.fori_loop(0, block_subs, body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("shifts", "radix_bits", "valid_n"))
 def _hist_call(x_padded, shifts, radix_bits, valid_n):
+    sub, block_subs = _hist_layout(radix_bits)
     n = x_padded.shape[0]
-    block_elems = _BLOCK_SUBS * _SUB
+    block_elems = block_subs * sub
     assert n % block_elems == 0
     steps = n // block_elems
     hi_bits, lo_bits = _split_bits(radix_bits)
     H, L = 1 << hi_bits, 1 << lo_bits
     kernel = functools.partial(
         _hist_kernel, shifts=shifts, radix_bits=radix_bits, valid_n=valid_n,
+        sub=sub, block_subs=block_subs,
     )
     out = pl.pallas_call(
         kernel,
         grid=(steps,),
-        in_specs=[pl.BlockSpec((_BLOCK_SUBS, _SUB), lambda i: (i, 0),
+        in_specs=[pl.BlockSpec((block_subs, sub), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((H, L * len(shifts)), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((H, L * len(shifts)), jnp.int32),
         interpret=_want_interpret(),
-    )(x_padded.reshape(steps * _BLOCK_SUBS, _SUB))
+    )(x_padded.reshape(steps * block_subs, sub))
     # (H, L*P) -> (P, H*L): bucket index is hi*L + lo
     P = len(shifts)
     return out.reshape(H, P, L).transpose(1, 0, 2).reshape(P, H * L)
@@ -255,7 +289,8 @@ def _onehot_accum(row, in_range, o_ref, H, L, lo_bits):
     o_ref[...] += partial.astype(jnp.int32)
 
 
-def _hist_pext_kernel(x_ref, o_ref, *, mask, radix_bits, valid_n):
+def _hist_pext_kernel(x_ref, o_ref, *, mask, radix_bits, valid_n, sub,
+                      block_subs):
     hi_bits, lo_bits = _split_bits(radix_bits)
     H, L = 1 << hi_bits, 1 << lo_bits
     step = pl.program_id(0)
@@ -264,37 +299,38 @@ def _hist_pext_kernel(x_ref, o_ref, *, mask, radix_bits, valid_n):
     def _init():
         o_ref[...] = jnp.zeros_like(o_ref)
 
-    base = step * (_BLOCK_SUBS * _SUB)
+    base = step * (block_subs * sub)
 
     def body(s, _):
-        row = _pext_rows(x_ref[pl.ds(s, 1), :], mask)        # (1, _SUB)
-        eidx = base + s * _SUB + lax.broadcasted_iota(jnp.int32, (1, _SUB), 1)
+        row = _pext_rows(x_ref[pl.ds(s, 1), :], mask)        # (1, sub)
+        eidx = base + s * sub + lax.broadcasted_iota(jnp.int32, (1, sub), 1)
         _onehot_accum(row, eidx < valid_n, o_ref, H, L, lo_bits)
         return 0
 
-    lax.fori_loop(0, _BLOCK_SUBS, body, 0)
+    lax.fori_loop(0, block_subs, body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("mask", "valid_n"))
 def _hist_pext_call(x_padded, mask, valid_n):
     nbits = bin(mask).count("1")
+    sub, block_subs = _hist_layout(nbits)
     hi_bits, lo_bits = _split_bits(nbits)
     H, L = 1 << hi_bits, 1 << lo_bits
     n = x_padded.shape[0]
-    block_elems = _BLOCK_SUBS * _SUB
+    block_elems = block_subs * sub
     steps = n // block_elems
     kernel = functools.partial(_hist_pext_kernel, mask=mask, radix_bits=nbits,
-                               valid_n=valid_n)
+                               valid_n=valid_n, sub=sub, block_subs=block_subs)
     out = pl.pallas_call(
         kernel,
         grid=(steps,),
-        in_specs=[pl.BlockSpec((_BLOCK_SUBS, _SUB), lambda i: (i, 0),
+        in_specs=[pl.BlockSpec((block_subs, sub), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((H, L), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((H, L), jnp.int32),
         interpret=_want_interpret(),
-    )(x_padded.reshape(steps * _BLOCK_SUBS, _SUB))
+    )(x_padded.reshape(steps * block_subs, sub))
     return out.reshape(H * L)
 
 
@@ -310,7 +346,7 @@ def histogram_pext_tpu(w: jax.Array, mask: int) -> jax.Array:
 
 
 def _hist_pext2_kernel(hi_ref, lo_ref, o_ref, *, mask_hi, mask_lo, radix_bits,
-                       valid_n):
+                       valid_n, sub, block_subs):
     """Two-plane (64-bit key) fused PEXT histogram: one read of both planes."""
     hi_bits, lo_bits = _split_bits(radix_bits)
     H, L = 1 << hi_bits, 1 << lo_bits
@@ -321,30 +357,31 @@ def _hist_pext2_kernel(hi_ref, lo_ref, o_ref, *, mask_hi, mask_lo, radix_bits,
     def _init():
         o_ref[...] = jnp.zeros_like(o_ref)
 
-    base = step * (_BLOCK_SUBS * _SUB)
+    base = step * (block_subs * sub)
 
     def body(s, _):
         row = (_pext_rows(hi_ref[pl.ds(s, 1), :], mask_hi) << np.uint32(nb_lo)) \
             | _pext_rows(lo_ref[pl.ds(s, 1), :], mask_lo)
-        eidx = base + s * _SUB + lax.broadcasted_iota(jnp.int32, (1, _SUB), 1)
+        eidx = base + s * sub + lax.broadcasted_iota(jnp.int32, (1, sub), 1)
         _onehot_accum(row, eidx < valid_n, o_ref, H, L, lo_bits)
         return 0
 
-    lax.fori_loop(0, _BLOCK_SUBS, body, 0)
+    lax.fori_loop(0, block_subs, body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("mask_hi", "mask_lo", "valid_n"))
 def _hist_pext2_call(hi_p, lo_p, mask_hi, mask_lo, valid_n):
     nbits = bin(mask_hi).count("1") + bin(mask_lo).count("1")
+    sub, block_subs = _hist_layout(nbits)
     hb, lb = _split_bits(nbits)
     H, L = 1 << hb, 1 << lb
     n = hi_p.shape[0]
-    block_elems = _BLOCK_SUBS * _SUB
+    block_elems = block_subs * sub
     steps = n // block_elems
     kernel = functools.partial(_hist_pext2_kernel, mask_hi=mask_hi,
                                mask_lo=mask_lo, radix_bits=nbits,
-                               valid_n=valid_n)
-    spec = pl.BlockSpec((_BLOCK_SUBS, _SUB), lambda i: (i, 0),
+                               valid_n=valid_n, sub=sub, block_subs=block_subs)
+    spec = pl.BlockSpec((block_subs, sub), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
@@ -354,8 +391,8 @@ def _hist_pext2_call(hi_p, lo_p, mask_hi, mask_lo, valid_n):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((H, L), jnp.int32),
         interpret=_want_interpret(),
-    )(hi_p.reshape(steps * _BLOCK_SUBS, _SUB),
-      lo_p.reshape(steps * _BLOCK_SUBS, _SUB))
+    )(hi_p.reshape(steps * block_subs, sub),
+      lo_p.reshape(steps * block_subs, sub))
     return out.reshape(H * L)
 
 
@@ -512,8 +549,37 @@ def regenerate_tpu(hist: jax.Array, n: int) -> jax.Array:
 # a huge domain) are detected by `regen_windows_fit` and the caller falls
 # back to the sorter via `lax.cond` — no host sync.
 
-_REGEN_WINDOW = 1024  # bins per window: same per-element cost as the
-                      # plain-regeneration gate (_REGEN_MAX_BINS)
+_REGEN_WINDOW = 1024  # default bins per window: same per-element cost as
+                      # the plain-regeneration gate (_REGEN_MAX_BINS)
+
+# Adaptive window bounds (round 3). The regeneration cost is
+# O(window)/element, so the window should be as small as the data's block
+# span allows: at trace time only the uniform-case span bound
+# block_elems*bins/n + 1 is known, and the in-graph `regen_windows_fit`
+# check (sorter fallback) covers any distribution that exceeds it. 2x slack
+# absorbs moderate skew without paying for it on uniform data (measured:
+# uniform spans concentrate within ~2% of the bound at 40M/2^16).
+_REGEN_WINDOW_MIN = 128   # (1, window) lane row must fill a 128-lane tile
+_REGEN_WINDOW_MAX = 1024  # (window, 4096) bf16 compare tile = 8 MB VMEM
+
+
+def pick_window(n: int, bins: int) -> int:
+    """Trace-time window width for the windowed-regeneration kernels.
+
+    Power of two covering 2x the uniform-case per-block bin span, clamped to
+    [128, 1024]. Returns 0 when even the max window cannot cover the bound —
+    the windowed tier is then statically inapplicable (callers route to the
+    sorter without paying the histogram; the generalization of the
+    reference's "skip only when it can pay" probe, `radix_sort.hpp:64-70`).
+    """
+    block_elems = _BLOCK_SUBS_W * _SUB_W
+    span = block_elems * bins // max(n, 1) + 1
+    w = _REGEN_WINDOW_MIN
+    while w < 2 * span:
+        w *= 2
+        if w > _REGEN_WINDOW_MAX:
+            return 0
+    return w
 
 # The windowed kernels keep the 64K-element block of the other kernels but
 # split it as 16 x 4096 lanes instead of 8 x 8192: the (window, lane-row)
@@ -594,6 +660,11 @@ def regen_windows_fit(cum, n: int, window: int = _REGEN_WINDOW) -> jax.Array:
     starts = _regen_win_starts(cum, n_pad)
     block_ends = (jnp.arange(n_pad // block_elems, dtype=jnp.int32) + 1) \
         * block_elems - 1
+    # Clamp to the last REAL output position: past n-1 every trailing empty
+    # bin (cum == n) would inflate the final block's span and spuriously
+    # fail skewed-but-fitting inputs (padding positions read the sentinel
+    # tail, which is harmless — they are sliced off).
+    block_ends = jnp.minimum(block_ends, n - 1)
     ends = jnp.searchsorted(cum, block_ends, side="right").astype(jnp.int32)
     return jnp.max(ends - starts) <= window
 

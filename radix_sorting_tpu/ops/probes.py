@@ -40,6 +40,8 @@ __all__ = [
     "live_digit_mask",
     "compact_live_bits",
     "expand_live_bits",
+    "compact_word_planes",
+    "expand_word_planes",
 ]
 
 
@@ -136,3 +138,52 @@ def expand_live_bits(c: jax.Array, mask: int) -> jax.Array:
             out = out | (((c >> np.uint32(pos)) & np.uint32(1)) << np.uint32(bit))
             pos += 1
     return out
+
+
+def compact_word_planes(words: Sequence[jax.Array],
+                        masks: Sequence[int]) -> jax.Array:
+    """Merge the live bits of multi-word keys into ONE dense u32 word.
+
+    ``words`` are uint32 planes most-significant first; ``masks`` the static
+    per-plane live-bit masks (total popcount <= 32). Per-plane PEXT with the
+    MSW plane taking the high positions: for keys obeying the masks (dead
+    bits constant) the merged word's numeric order equals the planes'
+    lexicographic order, and the map is a bijection on the masked domain —
+    so sorting by the merged word alone is EXACTLY sorting by the planes,
+    with one sorter operand instead of len(words). The key-compaction idea
+    of the reference (`README.md:716-758`), applied to the sort operands
+    themselves (the sorter is measured operand-width-bound on this part).
+    """
+    merged = jnp.zeros_like(words[0])
+    shift = 0
+    for w, m in zip(reversed(tuple(words)), reversed(tuple(masks))):
+        m = int(m)
+        if m:
+            merged = merged | (compact_live_bits(w, m) << np.uint32(shift))
+            shift += bin(m).count("1")
+    assert shift <= 32, "compacted live bits must fit one u32 word"
+    return merged
+
+
+def expand_word_planes(merged: jax.Array, words: Sequence[jax.Array],
+                       masks: Sequence[int]):
+    """Inverse of :func:`compact_word_planes` + dead-bit restore.
+
+    ``words`` supplies the constant dead bits (every key shares them under
+    the mask promise; element 0 is as good as any). Returns the full-width
+    planes of the merged-word-sorted keys.
+    """
+    words = tuple(words)
+    masks = tuple(int(m) for m in masks)
+    nbits = sum(bin(m).count("1") for m in masks)
+    out = []
+    shift = nbits
+    for w, m in zip(words, masks):
+        nb = bin(m).count("1")
+        shift -= nb
+        plane = expand_live_bits(
+            (merged >> np.uint32(shift)) & np.uint32((1 << nb) - 1), m) \
+            if m else jnp.zeros_like(merged)
+        dead = w[0] & np.uint32(~m & 0xFFFFFFFF)
+        out.append(plane | dead)
+    return tuple(out)

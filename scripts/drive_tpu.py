@@ -19,6 +19,8 @@ import jax.numpy as jnp
 
 
 def main() -> int:
+    from radix_sorting_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
     import radix_sorting_tpu as rst
     from radix_sorting_tpu.extras import merge_sorted, top_k
     from radix_sorting_tpu.parallel import (

@@ -1,0 +1,90 @@
+"""Measure the in-graph range probe (`SortConfig.device_probe`) on chip.
+
+Three numbers at 40M (one process, within-process comparisons):
+  1. full-entropy u32 through the probed path vs the plain sorter — the
+     probe's overhead when data is NOT narrow (one extra min/max read);
+  2. narrow-RANGE unpromised data (values in [3e9, 3e9 + 2^13)) through the
+     probed path — the payoff: counting speed with no mask promise, no host
+     sync;
+  3. the same narrow data through the plain sorter — what AUTO does today
+     without the flag.
+Prints one JSON line per case.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def steady_ms(fn, x, reps=8):
+    import jax
+    from jax import lax
+
+    def outer(a):
+        def body(i, c):
+            r = fn(c)
+            return c * np.uint32(2654435761) + (r[-1] & np.uint32(1))
+        return lax.fori_loop(0, reps, body, a)
+
+    g = jax.jit(outer)
+    np.asarray(g(x)[-1:])
+    best = 1e9
+    for _ in range(2):
+        t0 = time.perf_counter()
+        r = g(x)
+        np.asarray(r[-1:])
+        best = min(best, (time.perf_counter() - t0) / reps)
+    return best * 1e3
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from radix_sorting_tpu.ops.counting_engine import sort_word_range_probe
+
+    print(json.dumps({"device": str(jax.devices()[0])}), flush=True)
+    rng = np.random.default_rng(0x5EED)
+    n = 40_000_000
+
+    def sorter(c):
+        (s,) = lax.sort((c,), dimension=0, is_stable=False, num_keys=1)
+        return s
+
+    def probed(c):
+        return sort_word_range_probe(c)
+
+    # full-entropy: probe overhead
+    x = rng.integers(0, 1 << 32, size=n, dtype=np.uint32)
+    xj = jnp.asarray(x)
+    out = np.asarray(jax.jit(probed)(xj))
+    ok = bool(np.array_equal(out, np.sort(x)))
+    ms_sort = steady_ms(sorter, xj, reps=6)
+    ms_probe = steady_ms(probed, xj, reps=6)
+    print(json.dumps({"exp": "probe_full_entropy", "n": n, "bit_exact": ok,
+                      "sorter_ms": round(ms_sort, 2),
+                      "probed_ms": round(ms_probe, 2),
+                      "overhead": round(ms_probe / ms_sort - 1, 3)}),
+          flush=True)
+
+    # narrow range, unpromised, offset values: probe payoff
+    base = np.uint32(3_000_000_000)
+    xn = (rng.integers(0, 1 << 13, size=n, dtype=np.uint32) + base)
+    xnj = jnp.asarray(xn)
+    out = np.asarray(jax.jit(probed)(xnj))
+    ok = bool(np.array_equal(out, np.sort(xn)))
+    # keep the narrow range THROUGH the scramble chain: mask then re-offset
+    m = np.uint32((1 << 13) - 1)
+    ms_nar = steady_ms(lambda c: probed((c & m) + base), xnj, reps=8)
+    ms_nar_sorter = steady_ms(lambda c: sorter((c & m) + base), xnj, reps=8)
+    print(json.dumps({"exp": "probe_narrow_range", "n": n, "bit_exact": ok,
+                      "probed_ms": round(ms_nar, 2),
+                      "sorter_ms": round(ms_nar_sorter, 2),
+                      "speedup": round(ms_nar_sorter / ms_nar, 2),
+                      "Mkeys": round(n / ms_nar / 1e3, 0)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,198 @@
+"""The TPU dispatch graph, exercised on CPU via RST_FORCE_TPU_ROUTES=1.
+
+Round-2 verdict: backend-gated dispatch meant CI tested different routes than
+production — the `use_tpu_routes()` gates sent CPU down XLA fallbacks, so the
+windowed tier's in-graph sparse-input sorter fallback (and every other Pallas
+route) only ever ran on-chip. With the env override the REAL dispatch graph
+builds on CPU (kernels in Pallas interpret mode), including both `lax.cond`
+branches. The reference's analog is its always-on self-verification
+(`radix_experiment.cpp:208-212`): the production path is the tested path.
+
+Interpret mode is slow, so sizes here are the minimum that still reaches each
+tier; full-scale routes are driven on hardware (scripts/drive_tpu.py, bench).
+"""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+
+@pytest.fixture(autouse=True)
+def _force_tpu_routes():
+    # The gates read the env var at TRACE time; traces are cached per shape,
+    # so clear caches around the suite to keep forced/unforced graphs apart.
+    os.environ["RST_FORCE_TPU_ROUTES"] = "1"
+    jax.clear_caches()
+    yield
+    os.environ.pop("RST_FORCE_TPU_ROUTES", None)
+    jax.clear_caches()
+
+
+def test_gate_helper_reads_env():
+    from radix_sorting_tpu.ops.pallas_kernels import use_tpu_routes
+    assert use_tpu_routes()
+    os.environ.pop("RST_FORCE_TPU_ROUTES", None)
+    assert use_tpu_routes() == (jax.default_backend() == "tpu")
+    os.environ["RST_FORCE_TPU_ROUTES"] = "1"
+
+
+def test_plain_counting_tier_u8(rng):
+    # u8 keys: Pallas histogram + plain regeneration (256 bins)
+    import radix_sorting_tpu as rst
+    x = rng.integers(0, 256, size=70_003, dtype=np.uint8)
+    out = np.asarray(rst.sort(jnp.asarray(x)))
+    assert np.array_equal(out, np.sort(x))
+
+
+def test_masked_u32_plain_pdep(rng):
+    # 8 live bits: fused PEXT histogram + PDEP regeneration
+    import radix_sorting_tpu as rst
+    mask = 0xF0F00000
+    x = (rng.integers(0, 1 << 32, size=150_007, dtype=np.uint32)
+         & np.uint32(mask))
+    out = np.asarray(rst.sort(jnp.asarray(x), value_mask=mask))
+    assert np.array_equal(out, np.sort(x))
+
+
+def test_masked_u32_windowed_fit_branch(rng):
+    # 12 live bits, dense data: windowed PDEP regen, fit-check TRUE branch
+    import radix_sorting_tpu as rst
+    mask = 0x3FFC0  # 12 contiguous live bits
+    x = (rng.integers(0, 1 << 32, size=600_011, dtype=np.uint32)
+         & np.uint32(mask)) | np.uint32(0x80000004 & ~mask)
+    out = np.asarray(rst.sort(jnp.asarray(x), value_mask=mask | 0x80000004))
+    assert np.array_equal(out, np.sort(x))
+
+
+def test_windowed_sorter_fallback_branch(rng):
+    # The in-graph lax.cond FALSE branch: data passes the static (n, bins)
+    # gate but one output block spans more bins than the window, so the
+    # fit check routes to the sorter at runtime. Construction: one element
+    # in each of ~1500 of 2048 bins, the rest piled into one high bin —
+    # block 0 then spans ~2000 bins > window.
+    from radix_sorting_tpu.ops.counting_engine import (_windowed_bins_ok,
+                                                       counting_sort_compact)
+    from radix_sorting_tpu.ops.pallas_kernels import (pick_window,
+                                                      regen_windows_fit)
+    bins, n = 1 << 11, 400_009
+    singles = np.arange(1500, dtype=np.uint32)
+    x = np.concatenate([singles,
+                        np.full(n - singles.size, 2000, np.uint32)])
+    x = np.random.default_rng(7).permutation(x)
+    assert _windowed_bins_ok(n, bins)
+    window = pick_window(n, bins)
+    hist = np.bincount(x, minlength=bins).astype(np.int32)
+    cum = jnp.cumsum(jnp.asarray(hist), dtype=jnp.int32)
+    assert not bool(regen_windows_fit(cum, n, window))
+    out = np.asarray(counting_sort_compact(jnp.asarray(x), bins))
+    assert np.array_equal(out, np.sort(x))
+
+
+def test_masked_u64_two_plane_windowed(rng):
+    # cross-plane mask (5 + 7 = 12 live bits): fused pdep2 windowed route
+    import radix_sorting_tpu as rst
+    mask_hi, mask_lo = 0x1F, 0xFE000000  # 5 + 7 = 12 live bits
+    full_mask = (mask_hi << 32) | mask_lo
+    r = rng.integers(0, 1 << 62, size=600_013).astype(np.uint64)
+    x = r & np.uint64(full_mask)
+    out = np.asarray(rst.sort(x, value_mask=int(full_mask)))
+    assert np.array_equal(out, np.sort(x))
+
+
+def test_u16_static_gate_routes_sorter(rng):
+    # u16 full domain at CI scale: the static gate rejects (window cannot
+    # cover the span at this n), so the raw-plane sorter runs WITHOUT paying
+    # the histogram — result identical either way
+    import radix_sorting_tpu as rst
+    x = rng.integers(0, 1 << 16, size=90_017, dtype=np.uint16)
+    out = np.asarray(rst.sort(jnp.asarray(x)))
+    assert np.array_equal(out, np.sort(x))
+
+
+def test_bitmap_presence_route(rng):
+    from radix_sorting_tpu.ops.bitmap import bitmap_unique_sort
+    x = rng.integers(0, 500, size=70_001, dtype=np.uint16)
+    values, count = bitmap_unique_sort(x)
+    expect = np.unique(x)
+    assert int(count) == expect.size
+    assert np.array_equal(np.asarray(values)[: expect.size], expect)
+
+
+def test_lsd_multi_digit_histogram_route(rng):
+    # Strategy.LSD pulls multi_digit_histogram -> Pallas fused kernel
+    import radix_sorting_tpu as rst
+    x = rng.integers(0, 1 << 32, size=70_009, dtype=np.uint32)
+    cfg = rst.SortConfig(strategy=rst.Strategy.LSD)
+    out = np.asarray(rst.sort(jnp.asarray(x), config=cfg))
+    assert np.array_equal(out, np.sort(x))
+
+
+# ---------------------------------------------------------------------------
+# in-graph range probe (round 3): `SortConfig.device_probe` dispatches on the
+# measured key range with a lax.cond — no host sync. Forced routes exercise
+# both branches (and the inner window-fit fallback) on CPU.
+
+
+def test_probe_bins_scales_with_n():
+    from radix_sorting_tpu.ops.counting_engine import probe_bins
+    assert probe_bins(40_000_000) == 1 << 16
+    assert probe_bins(500_000) == 1 << 11
+    assert probe_bins(10_000) == 1 << 10   # plain-tier floor
+
+
+def test_device_probe_narrow_offset_range(rng):
+    # values in [3e9, 3e9 + 1500): narrow RANGE, huge values — only the
+    # offset trick catches this (no static mask could)
+    import radix_sorting_tpu as rst
+    cfg = rst.SortConfig(device_probe=True)
+    n = 500_003
+    x = (rng.integers(0, 1500, size=n).astype(np.uint64)
+         + np.uint64(3_000_000_000)).astype(np.uint32)
+    out = np.asarray(rst.sort(jnp.asarray(x), config=cfg))
+    assert np.array_equal(out, np.sort(x))
+    # descending through the same probe (complemented word, range unchanged)
+    outd = np.asarray(rst.sort(jnp.asarray(x),
+                               config=cfg.replace(descending=True)))
+    assert np.array_equal(outd, np.sort(x)[::-1])
+
+
+def test_device_probe_wide_takes_sorter(rng):
+    import radix_sorting_tpu as rst
+    cfg = rst.SortConfig(device_probe=True)
+    x = rng.integers(0, 1 << 32, size=500_005, dtype=np.uint32)
+    out = np.asarray(rst.sort(jnp.asarray(x), config=cfg))
+    assert np.array_equal(out, np.sort(x))
+
+
+def test_device_probe_narrow_signed_and_float(rng):
+    import radix_sorting_tpu as rst
+    cfg = rst.SortConfig(device_probe=True)
+    xi = rng.integers(-700, 700, size=500_007, dtype=np.int32)
+    out = np.asarray(rst.sort(jnp.asarray(xi), config=cfg))
+    assert np.array_equal(out, np.sort(xi))
+    # f32 in a tight band: derived-word range is narrow too
+    xf = (1.0 + rng.integers(0, 1000, size=500_009).astype(np.float32)
+          * np.float32(2**-23))
+    out = np.asarray(rst.sort(jnp.asarray(xf), config=cfg))
+    assert np.array_equal(out, np.sort(xf))
+
+
+def test_device_probe_skewed_inner_fallback():
+    # range fits the probe domain but one output block overruns the window:
+    # the INNER lax.cond falls back to the sorter — still exact
+    import radix_sorting_tpu as rst
+    from radix_sorting_tpu.ops.counting_engine import probe_bins
+    cfg = rst.SortConfig(device_probe=True)
+    n = 400_011
+    bins = probe_bins(n)
+    singles = np.arange(0, bins - 64, max(1, (bins - 64) // 1500),
+                        dtype=np.uint32)[:1500]
+    x = np.concatenate([singles,
+                        np.full(n - singles.size, bins - 1, np.uint32)])
+    x = np.random.default_rng(13).permutation(x)
+    assert int(x.max()) - int(x.min()) < bins
+    out = np.asarray(rst.sort(jnp.asarray(x), config=cfg))
+    assert np.array_equal(out, np.sort(x))

@@ -203,6 +203,70 @@ def test_regenerate_pdep2_windowed(rng):
     assert np.array_equal(np.asarray(slo), lo[order])
 
 
+def test_pick_window():
+    # power of two covering 2x the uniform span bound, clamped to [128, 1024];
+    # 0 = tier statically inapplicable (even the max window cannot cover it)
+    block = 65536
+    # u16 full domain at 40M: span ~108 -> 256 (the round-2 fixed 1024 paid
+    # ~4x the needed compares here)
+    assert pk.pick_window(40_000_000, 1 << 16) == 256
+    # 13-bit mask at 40M: span ~14 -> min window
+    assert pk.pick_window(40_000_000, 1 << 13) == 128
+    # wide tier: 2^18 at 200M: span ~86 -> 256
+    assert pk.pick_window(200_000_000, 1 << 18) == 256
+    # dense edge: exactly at the bound
+    n, bins = 2_000_000, 1 << 11
+    span = block * bins // n + 1
+    w = pk.pick_window(n, bins)
+    assert w >= 2 * span and (w & (w - 1)) == 0
+    # statically hopeless: tiny n over a huge domain
+    assert pk.pick_window(30_000, 1 << 16) == 0
+    assert pk.pick_window(1_000_000, 1 << 20) == 0
+
+
+def test_windowed_bins_gate():
+    from radix_sorting_tpu.ops.counting_engine import (
+        _REGEN_MAX_BINS, _WIDE_MIN_KEYS_PER_BIN, _windowed_bins_ok)
+    assert _windowed_bins_ok(40_000_000, 1 << 16)
+    assert _windowed_bins_ok(40_000_000, 1 << 11)
+    assert not _windowed_bins_ok(40_000_000, 1 << 10)   # plain tier
+    assert not _windowed_bins_ok(40_000_000, 3 << 10)   # not a power of two
+    assert not _windowed_bins_ok(30_000, 1 << 16)       # window can't cover
+    # wide tier: density floor in keys-per-bin (2^17 only on this part —
+    # 2^18's histogram alone exceeds the sorter at any density, measured)
+    bins = 1 << 17
+    assert _windowed_bins_ok(bins * _WIDE_MIN_KEYS_PER_BIN, bins)
+    assert not _windowed_bins_ok(bins * _WIDE_MIN_KEYS_PER_BIN - 1, bins)
+    assert not _windowed_bins_ok(1 << 30, 1 << 18)      # past the wide cap
+
+
+def test_regen_windows_fit_ragged_trailing_bins(rng):
+    # Regression (round-2 advisor): the fit check measured the LAST block's
+    # span against the padded end, so trailing empty bins (cum == n) inflated
+    # it and skewed-but-fitting inputs fell back to the sorter. With the
+    # clamp to n-1 the check reflects only real output positions.
+    bins, n = 1 << 11, 200_000          # ragged: 3.05 output blocks
+    x = rng.integers(0, 256, size=n, dtype=np.uint32)  # mass in low bins only
+    hist = np.bincount(x, minlength=bins).astype(np.int32)
+    cum = jnp.cumsum(jnp.asarray(hist), dtype=jnp.int32)
+    assert bool(pk.regen_windows_fit(cum, n, 1024))
+    out = np.asarray(pk.regenerate_windowed_tpu(cum, n, bins, 1024))
+    assert np.array_equal(out, np.sort(x))
+
+
+@pytest.mark.parametrize("window", [128, 256, 512])
+def test_regenerate_windowed_small_windows(rng, window):
+    # the adaptive sizes: kernel correctness at every window the picker emits
+    # (uniform span here is ~90 bins, so every window >= 128 must fit)
+    bins, n = 1 << 11, 1_500_000
+    x = rng.integers(0, bins, size=n, dtype=np.uint32)
+    hist = np.bincount(x, minlength=bins).astype(np.int32)
+    cum = jnp.cumsum(jnp.asarray(hist), dtype=jnp.int32)
+    assert bool(pk.regen_windows_fit(cum, n, window)), window
+    out = np.asarray(pk.regenerate_windowed_tpu(cum, n, bins, window))
+    assert np.array_equal(out, np.sort(x))
+
+
 def test_sort_words_counting_windowed_masked(rng):
     # engine-level: 13-live-bit masked u32 through sort_words_counting
     from radix_sorting_tpu.ops.counting_engine import sort_words_counting

@@ -96,3 +96,88 @@ def test_rank_permutation_rejects_bad():
     assert not verify.is_permutation(np.array([0, 1, 1, 3], np.uint32))
     assert not verify.is_permutation(np.array([0, 1, 2, 4], np.uint32))
     assert verify.is_permutation(np.array([3, 0, 2, 1], np.uint32))
+
+
+# ---------------------------------------------------------------------------
+# plane compaction for masked 64-bit keys (round 3): pairs/rank sorts ship
+# ONE compacted key operand instead of two planes when a static value_mask
+# leaves <= 32 live bits — the sorter is operand-width-bound, so this is a
+# measured win; these tests pin the route's exactness and stability.
+
+
+def _masked_u64(rng_, n, full_mask, dead=0):
+    r = rng_.integers(0, 1 << 62, size=n).astype(np.uint64)
+    return (r & np.uint64(full_mask)) | np.uint64(dead)
+
+
+def test_pairs_compacted_masked_u64_stability(rng):
+    # few distinct keys -> heavy duplication makes stability observable
+    full_mask = (0xFF << 32) | 0x0000F000  # 8 + 4 = 12 live bits, both planes
+    dead = (1 << 40) | 0x21               # constant bits outside the mask
+    n = 4003
+    keys = _masked_u64(rng, n, full_mask, dead)
+    payload = np.arange(n, dtype=np.uint32)
+    sk, sv = rst.sort_pairs(keys, payload, value_mask=full_mask | dead)
+    order = np.argsort(keys, kind="stable")
+    assert np.array_equal(np.asarray(sk), keys[order])
+    assert np.array_equal(np.asarray(sv), payload[order])
+    # descending: complemented planes, same masks
+    cfg = rst.SortConfig(descending=True)
+    sk, sv = rst.sort_pairs(keys, payload, config=cfg,
+                            value_mask=full_mask | dead)
+    order_d = np.argsort(~keys, kind="stable")
+    assert np.array_equal(np.asarray(sk), keys[order_d])
+    assert np.array_equal(np.asarray(sv), payload[order_d])
+
+
+def test_argsort_compacted_masked_u64(rng):
+    full_mask = (0x1F << 32) | 0xFE000000  # 5 + 7 live bits
+    n = 3001
+    keys = _masked_u64(rng, n, full_mask)
+    perm = rst.argsort(keys, value_mask=full_mask)
+    assert np.array_equal(np.asarray(perm), np.argsort(keys, kind="stable"))
+
+
+def test_keys_only_compacted_masked_u64_wide():
+    # 24 live bits: past the counting budget (16) but within the 32-bit
+    # compaction budget -> HW path with ONE merged operand
+    rng_ = np.random.default_rng(11)
+    full_mask = (0xFFF << 32) | 0xFFF00000  # 12 + 12 = 24 live bits
+    keys = _masked_u64(rng_, 5000, full_mask)
+    out = rst.sort(keys, value_mask=full_mask)
+    assert np.array_equal(np.asarray(out), np.sort(keys))
+
+
+def test_pairs_masked_f64_nonnegative(rng):
+    # all-non-negative masked f64: positional masks survive the float KDF
+    bits = (rng.integers(0, 1 << 20, size=2000, dtype=np.uint64)
+            << np.uint64(30))
+    keys = bits.view(np.float64)
+    mask = int(((1 << 20) - 1) << 30)
+    payload = np.arange(keys.size, dtype=np.uint32)
+    sk, sv = rst.sort_pairs(keys, payload, value_mask=mask)
+    order = np.argsort(keys, kind="stable")
+    assert np.array_equal(np.asarray(sk), keys[order])
+    assert np.array_equal(np.asarray(sv), payload[order])
+
+
+def test_pairs_value_mask_validation(rng):
+    full_mask = (0xFF << 32) | 0xF000
+    keys = _masked_u64(rng, 1000, full_mask) | np.uint64(1)  # stray bit 0
+    with pytest.raises(ValueError, match="value_mask violated"):
+        rst.sort_pairs(keys, np.arange(1000, dtype=np.uint32),
+                       value_mask=full_mask, validate_mask=True)
+    with pytest.raises(ValueError, match="value_mask violated"):
+        rst.argsort(keys, value_mask=full_mask, validate_mask=True)
+
+
+def test_pairs_compaction_lsd_route(rng):
+    # compaction composes with the LSD engine too (fewer words -> fewer passes)
+    full_mask = (0xF << 32) | 0xFF
+    keys = _masked_u64(rng, 2000, full_mask)
+    payload = np.arange(2000, dtype=np.uint32)
+    cfg = rst.SortConfig(strategy=rst.Strategy.LSD)
+    sk, sv = rst.sort_pairs(keys, payload, config=cfg, value_mask=full_mask)
+    order = np.argsort(keys, kind="stable")
+    assert np.array_equal(np.asarray(sk), keys[order])
+    assert np.array_equal(np.asarray(sv), payload[order])
