@@ -112,6 +112,21 @@ def main() -> int:
         (sw,), (p,) = hw_engine.sort_words((w,), (a,))
         return p
 
+    # round-3 plane compaction: masked u64 keys (24 live bits across both
+    # planes) + payload ship as TWO sorter operands instead of three
+    cm_hi, cm_lo = 0x00003FFF, 0xFFC00000
+
+    def pairs_masked_u64_compacted(a):
+        from jax import lax
+
+        from radix_sorting_tpu.ops import probes
+        hi = a & np.uint32(cm_hi)
+        lo = (a * np.uint32(2654435761)) & np.uint32(cm_lo)
+        merged = probes.compact_word_planes((hi, lo), (cm_hi, cm_lo))
+        s, p = lax.sort((merged, a), dimension=0, is_stable=True, num_keys=1)
+        sh, sl = probes.expand_word_planes(s, (hi, lo), (cm_hi, cm_lo))
+        return sh ^ sl ^ p
+
     ROW = 4096
 
     def batched_sort(a):
@@ -125,6 +140,8 @@ def main() -> int:
         "radix_sort": (value_sort, lambda n: jnp.asarray(keys[:n])),
         "radix_sort_rank": (rank_sort, lambda n: jnp.asarray(keys[:n])),
         "radix_sort_pairs": (pairs_sort, lambda n: jnp.asarray(keys[:n])),
+        "pairs_masked_u64_compacted": (
+            pairs_masked_u64_compacted, lambda n: jnp.asarray(keys[:n])),
         "counting_masked": (masked_sort, lambda n: jnp.asarray(keys[:n] & np.uint32(mask))),
         "counting_13bit_windowed": (
             masked13_sort, lambda n: jnp.asarray(keys[:n] & np.uint32(mask13))),

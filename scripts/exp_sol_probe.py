@@ -26,15 +26,24 @@ import time
 import numpy as np
 
 
+def _sync(r):
+    """Close the async pipeline with a FOUR-BYTE readback: slice on DEVICE
+    first (np.ravel on a jax array would ship the whole 160 MB result
+    through the ~15 MB/s tunnel and poison the measurement — found the hard
+    way in round 3)."""
+    import jax.numpy as jnp
+    leaf = r[0] if isinstance(r, tuple) else r
+    np.asarray(jnp.ravel(leaf)[-1:])
+
+
 def _timed(g, x, reps):
     """Best-of-2 steady seconds/rep for jitted g (host-readback closed)."""
-    r = g(x)
-    np.asarray(np.ravel(r)[-1:])
+    _sync(g(x))
     best = 1e9
     for _ in range(2):
         t0 = time.perf_counter()
         r = g(x)
-        np.asarray(np.ravel(r)[-1:])
+        _sync(r)
         best = min(best, (time.perf_counter() - t0) / reps)
     return best
 
@@ -121,8 +130,8 @@ def probe_dma(jax, jnp, lax):
         return pl.pallas_call(
             kernel,
             grid=(steps,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
             out_shape=jax.ShapeDtypeStruct((n,), jnp.uint32),
             scratch_shapes=[pltpu.VMEM((CHUNK,), jnp.uint32),
                             pltpu.SemaphoreType.DMA,
@@ -171,7 +180,6 @@ def main():
         "sorter_Mkeys": round(40_000 / sorter_ms, 0),
         "gather_Melems": round(gather, 1),
         "dma_GBps": dma,
-        "verdict_dead_ends_hold": (isinstance(dma, float) or True) and None,
     }), flush=True)
 
 
