@@ -17,6 +17,12 @@ Modes:
   * weak scaling (default): n = n_per_device * D; efficiency =
     keys/s/device at D over keys/s/device at D=1 (the BASELINE phrasing).
   * strong scaling (--strong): fixed n; efficiency = rate(D) / (D * rate(1)).
+  * multi-controller (--processes N): relaunches itself as N coordinated
+    processes (jax.distributed + gloo CPU collectives on localhost) and
+    benches the GLOBAL mesh — the exact worker invocation a pod launcher
+    issues (pass --process-id/--num-processes/--coordinator yourself there).
+    Absolute CPU/gloo numbers say nothing about ICI; the mode exists so the
+    multi-controller path of the harness itself is exercised and true.
 
 Methodology matches bench.py: the op loops inside one jit with a
 multiplicative-scramble data dependence; timing closes with a host readback.
@@ -61,9 +67,50 @@ def steady_ms(fn, x, reps):
     return best * 1e3
 
 
+def _launch_processes(args, argv) -> int:
+    """Multi-controller launcher: respawn this script as N coordinated
+    processes on localhost (gloo CPU collectives) — the same worker invocation
+    a pod launcher (srun/gcloud) issues with its own coordinator address.
+    Validates the harness in true multi-process mode without hardware."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    base, skip = [], False
+    for a in argv:
+        if skip:
+            skip = False
+            continue
+        if a == "--processes":
+            skip = True          # drop the flag AND its value
+        elif a.startswith("--processes="):
+            pass
+        else:
+            base.append(a)
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = env.get("JAX_PLATFORMS", "cpu")
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env.pop("XLA_FLAGS", None)
+    procs = []
+    for pid in range(args.processes):
+        cmd = [sys.executable, __file__, *base,
+               "--process-id", str(pid), "--num-processes",
+               str(args.processes), "--coordinator", f"127.0.0.1:{port}"]
+        procs.append(subprocess.Popen(
+            cmd, env=env,
+            stdout=None if pid == 0 else subprocess.DEVNULL,
+            stderr=None if pid == 0 else subprocess.DEVNULL))
+    rc = 0
+    for p in procs:
+        rc |= p.wait()
+    return rc
+
+
 def main() -> int:
-    from radix_sorting_tpu.utils.compile_cache import enable_compilation_cache
-    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-per-device", type=int, default=1 << 19,
                     help="keys per device (weak scaling; default 2^19 for "
@@ -76,9 +123,41 @@ def main() -> int:
     ap.add_argument("--methods", default="balanced,overlap,shuffle")
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--out", default=None, help="report directory")
+    ap.add_argument("--processes", type=int, default=0,
+                    help="launch N coordinated processes on localhost and "
+                         "run over the GLOBAL mesh (multi-controller mode; "
+                         "CPU/gloo here, the same worker flags a pod "
+                         "launcher passes)")
+    ap.add_argument("--local-devices", type=int, default=4,
+                    help="virtual devices per process in --processes mode")
+    # worker-mode flags (a pod launcher passes these directly)
+    ap.add_argument("--process-id", type=int, default=None)
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--coordinator", default=None)
     args = ap.parse_args()
 
+    if args.processes:
+        import sys
+        return _launch_processes(args, sys.argv[1:])
+
+    import os
+    if args.process_id is not None:
+        # multi-controller worker: device count must be set before jax loads
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count="
+                        f"{args.local_devices}").strip()
+
+    from radix_sorting_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
+
     import jax
+
+    if args.process_id is not None:
+        jax.distributed.initialize(coordinator_address=args.coordinator,
+                                   num_processes=args.num_processes,
+                                   process_id=args.process_id)
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -86,6 +165,12 @@ def main() -> int:
         distributed_sort_balanced_u32, distributed_sort_u32, make_sort_mesh)
 
     ndev = len(jax.devices())
+    multiproc = args.process_id is not None
+    pid0 = args.process_id in (None, 0)
+    if multiproc and args.devices is None:
+        # every process must drive the same (full) mesh; per-D baselines come
+        # from separate launches on a pod
+        args.devices = str(ndev)
     if args.devices:
         dlist = [int(d) for d in args.devices.split(",")]
     else:
@@ -114,10 +199,19 @@ def main() -> int:
     for D in dlist:
         mesh = make_sort_mesh(D)
         n = args.n_per_device * (max_d if args.strong else D)
-        n -= n % (D * D)  # clean shard + deal divisibility for both paths
+        n -= n % (D * D * (args.num_processes or 1))
         x_np = rng.integers(0, 1 << 32, size=n, dtype=np.uint32)
-        x = jax.device_put(
-            jnp.asarray(x_np), NamedSharding(mesh, P("shards")))
+        if multiproc:
+            # multi-controller: each process ships only its local slice
+            # (process-contiguous shards match the default device order)
+            npr = args.num_processes
+            lo = args.process_id * (n // npr)
+            x = jax.make_array_from_process_local_data(
+                NamedSharding(mesh, P("shards")),
+                x_np[lo: lo + n // npr], (n,))
+        else:
+            x = jax.device_put(
+                jnp.asarray(x_np), NamedSharding(mesh, P("shards")))
         for name, fn in methods.items():
             ms = steady_ms(lambda c, _f=fn, _m=mesh: _f(c, _m), x, args.reps)
             rate = n / (ms / 1e3)
@@ -133,9 +227,13 @@ def main() -> int:
                 "Mkeys_per_s": round(rate / 1e6, 1),
                 "Mkeys_per_s_per_device": round(per_dev / 1e6, 1),
                 "efficiency": round(eff, 3),
+                **({"processes": args.num_processes} if multiproc else {}),
             })
-            print(json.dumps(rows[-1]), flush=True)
+            if pid0:
+                print(json.dumps(rows[-1]), flush=True)
 
+    if args.out and not pid0:
+        args.out = None  # only process 0 writes the report
     if args.out:
         outdir = Path(args.out)
         outdir.mkdir(parents=True, exist_ok=True)

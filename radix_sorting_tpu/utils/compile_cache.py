@@ -37,6 +37,17 @@ def enable_compilation_cache(path: str | None = None) -> str | None:
     env = os.environ.get("RST_COMPILE_CACHE")
     if env is not None and env in ("", "0", "off"):
         return None
+    # TPU-backed processes only (JAX_PLATFORMS unset or naming tpu/axon):
+    # the wins are the multi-second Mosaic/XLA:TPU compiles, while XLA:CPU
+    # AOT artifacts are machine-feature brittle on reload (observed
+    # "+prefer-no-scatter not supported on the host machine ... could lead
+    # to SIGILL" warnings when a CPU process reloads another's cache).
+    # Checked via env, not jax.default_backend(), so calling this never
+    # initializes the runtime (workers call it before
+    # jax.distributed.initialize).
+    plat = os.environ.get("JAX_PLATFORMS", "")
+    if plat and "tpu" not in plat and "axon" not in plat:
+        return None
     path = env or path or _DEFAULT
     import jax
 
