@@ -153,12 +153,38 @@ def probe_dma(jax, jnp, lax):
     return 2 * 4 * n / dt / 1e9          # in + out DMA legs
 
 
+def probe_canary(jax, jnp, lax):
+    """10-second slice-health canary: 4M-u32 sorter steady rate. Healthy
+    v5e-lite via axon: ~4-6 ms. An order-of-magnitude miss means the shared
+    slice is in a degraded window — discard measurements and retry later."""
+    n = 4_000_000
+    x = jnp.asarray(np.random.default_rng(9).integers(
+        0, 1 << 32, size=n, dtype=np.uint32))
+    K = 10
+
+    @jax.jit
+    def g(a):
+        def body(i, c):
+            (s,) = lax.sort((c,), dimension=0, is_stable=False, num_keys=1)
+            return c * np.uint32(2654435761) + (s[-1] & np.uint32(1))
+        return lax.fori_loop(0, K, body, a)
+
+    return _timed(g, x, K) * 1e3
+
+
 def main():
+    import sys
+
     import jax
     import jax.numpy as jnp
     from jax import lax
 
     dev = str(jax.devices()[0])
+    if "--canary" in sys.argv:
+        ms = probe_canary(jax, jnp, lax)
+        print(json.dumps({"probe": "canary_ms_4M", "value": round(ms, 1),
+                          "healthy": ms < 20.0, "device": dev}), flush=True)
+        return
     print(json.dumps({"device": dev}), flush=True)
     stream = probe_stream(jax, jnp, lax)
     print(json.dumps({"probe": "stream_GBps", "value": round(stream, 1)}),
