@@ -39,7 +39,7 @@ from .extras import (
 )
 from .ops.bitmap import bitmap_unique_sort
 
-__version__ = "0.2.0"
+__version__ = "0.4.0"
 
 __all__ = [
     "sort",
