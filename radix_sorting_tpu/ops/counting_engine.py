@@ -160,11 +160,12 @@ def probe_bins(n: int) -> int:
 
     The probe's dense domain is a STATIC bin count (Pallas shapes), so pick
     the largest power of two whose counting tier is applicable at this n:
-    2^16 when the windowed tier's span bound admits it (n >= ~8.4M), less
-    for smaller inputs, bottoming out at the always-applicable plain tier
-    (2^10). Wider domains catch more low-entropy inputs.
+    2^17 at wide-tier density (n >= ~67M), 2^16 when the windowed tier's
+    span bound admits it (n >= ~8.4M), less for smaller inputs, bottoming
+    out at the always-applicable plain tier (2^10). Wider domains catch
+    more low-entropy inputs.
     """
-    for bits in range(16, 10, -1):
+    for bits in range(17, 10, -1):
         if _windowed_bins_ok(n, 1 << bits):
             return 1 << bits
     return _REGEN_MAX_BINS
