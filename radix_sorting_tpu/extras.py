@@ -16,7 +16,7 @@ import numpy as np
 
 from .api import _as_words
 from .config import DEFAULT_CONFIG, SortConfig
-from .ops import hw_engine
+from .ops import hw_engine, kdf
 
 __all__ = ["lexsort", "unique_sorted", "segmented_sort", "segmented_argsort",
            "top_k_batched",
@@ -24,26 +24,61 @@ __all__ = ["lexsort", "unique_sorted", "segmented_sort", "segmented_argsort",
            "value_counts"]
 
 
+def _pack_narrow_words(pairs):
+    """Pack width-bounded derived words into the fewest u32 sort operands.
+
+    ``pairs`` is [(word, live_bits), ...] most significant first; every word
+    is < 2**live_bits (the KDF maps a b-bit dtype into a b-bit derived
+    domain), so concatenating fields within a u32 preserves the
+    lexicographic order exactly. The sorter is operand-width-bound
+    (ROADMAP round-2 experiment 4 / round-3 compaction table), so a lexsort
+    of four u8 columns runs as ONE key operand instead of four.
+    """
+    packed, acc, used = [], None, 0
+    for w, bits in pairs:
+        if acc is not None and used + bits <= 32:
+            acc = (acc << np.uint32(bits)) | w
+            used += bits
+        else:
+            if acc is not None:
+                packed.append(acc)
+            acc, used = w, bits
+    packed.append(acc)
+    return tuple(packed)
+
+
 def lexsort(keys: Sequence, *, config: SortConfig = DEFAULT_CONFIG) -> jax.Array:
     """Stable argsort by multiple keys, last key most significant (numpy order).
 
-    Each key may be any supported dtype; all are KDF-encoded and concatenated
-    into one multi-word derived key, sorted in a single fused stable sort —
-    the multi-word generalization of the reference's KDF composition.
+    Each key may be any supported dtype; all are KDF-encoded, narrow derived
+    words are bit-packed into the fewest u32 planes (`_pack_narrow_words` —
+    the operand-count win of round-3 plane compaction, here with static
+    dtype widths so no PEXT is even needed), and one fused sort orders the
+    result — the multi-word generalization of the reference's KDF
+    composition. Descending complements the PACKED planes (complement
+    distributes over concatenated fields bitwise).
     """
     keys = list(keys)
     if not keys:
         raise ValueError("lexsort needs at least one key")
-    words = []
+    pairs = []
     n = None
     for k in reversed(keys):  # numpy: last key is primary
-        w, _ = _as_words(k, config.descending)
+        w, dt = _as_words(k, False)
         if n is None:
             n = int(w[0].shape[0])
         elif int(w[0].shape[0]) != n:
             raise ValueError("lexsort keys must share a common length")
-        words.extend(w)
-    _, perm = hw_engine.argsort_words(tuple(words))
+        if len(w) == 2:
+            pairs += [(w[0], 32), (w[1], 32)]
+        else:
+            width = np.dtype(dt).itemsize * 8 if isinstance(dt, np.dtype) \
+                else jnp.dtype(dt).itemsize * 8
+            pairs.append((w[0], min(32, width)))
+    packed = _pack_narrow_words(pairs)
+    if config.descending:
+        packed = kdf.complement(packed)
+    _, perm = hw_engine.argsort_words(packed)
     return perm
 
 

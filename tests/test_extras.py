@@ -164,3 +164,57 @@ def test_top_k_batched(rng):
         assert np.array_equal(np.asarray(vals, dtype=np.uint64)[r], expect)
     with pytest.raises(ValueError):
         rst.top_k_batched(jnp.asarray(x), 0)
+
+
+def test_lexsort_narrow_keys_pack(rng):
+    # four u8 columns pack into ONE u32 sort operand (round-3 word packing);
+    # result must still be the exact stable numpy lexsort order
+    cols = [rng.integers(0, 256, size=5003, dtype=np.uint8) for _ in range(4)]
+    perm = np.asarray(lexsort([jnp.asarray(c) for c in cols]))
+    assert np.array_equal(perm, np.lexsort(tuple(cols)).astype(np.uint32))
+    # packing really happened: 4 u8 words -> 1 plane
+    from radix_sorting_tpu.extras import _pack_narrow_words
+    pairs = [(jnp.zeros(4, jnp.uint32), 8)] * 4
+    assert len(_pack_narrow_words(pairs)) == 1
+
+
+def test_lexsort_mixed_widths_pack(rng):
+    # (i16 primary, u8, f16) with signed/float KDF fields packed across one
+    # word boundary; numpy oracle built on the encoded composites
+    n = 4001
+    a8 = rng.integers(0, 256, size=n, dtype=np.uint8)      # least significant
+    b16 = rng.integers(-3000, 3000, size=n, dtype=np.int16)
+    c16 = (rng.integers(0, 1 << 16, size=n, dtype=np.uint16)).view(np.float16)
+    perm = np.asarray(lexsort([jnp.asarray(a8), jnp.asarray(b16),
+                               jnp.asarray(c16)]))
+    # oracle: stable sort by the same KDF composite (float16 total order)
+    def f16_key(v):
+        b = v.view(np.uint16).astype(np.uint32)
+        sign = b >> 15
+        return np.where(sign == 1, (~b) & 0xFFFF, b | 0x8000)
+    comp = (f16_key(c16).astype(np.uint64) << np.uint64(24)) \
+        | ((b16.view(np.uint16).astype(np.uint64) ^ np.uint64(0x8000)) << np.uint64(8)) \
+        | a8.astype(np.uint64)
+    assert np.array_equal(perm, np.argsort(comp, kind="stable").astype(np.uint32))
+
+
+def test_lexsort_descending_packed(rng):
+    n = 3003
+    a = rng.integers(0, 256, size=n, dtype=np.uint8)
+    b = rng.integers(0, 1 << 16, size=n, dtype=np.uint16)
+    from radix_sorting_tpu import SortConfig
+    perm = np.asarray(lexsort([jnp.asarray(a), jnp.asarray(b)],
+                              config=SortConfig(descending=True)))
+    comp = (b.astype(np.uint64) << np.uint64(8)) | a.astype(np.uint64)
+    # descending stable == ascending stable on complemented fields
+    oracle = np.argsort(~comp & np.uint64((1 << 24) - 1), kind="stable")
+    assert np.array_equal(perm, oracle.astype(np.uint32))
+
+
+def test_lexsort_u64_with_narrow(rng):
+    # 64-bit key contributes two full planes; the u8 secondary still packs
+    n = 2005
+    a8 = rng.integers(0, 256, size=n, dtype=np.uint8)
+    b64 = rng.integers(0, 1 << 63, size=n).astype(np.uint64)
+    perm = np.asarray(lexsort([a8, b64]))
+    assert np.array_equal(perm, np.lexsort((a8, b64)).astype(np.uint32))
