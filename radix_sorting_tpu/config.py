@@ -80,10 +80,13 @@ class SortConfig:
         counting tier (sort ``w - min``, add the offset back) and everything
         else to the sorter — NO host sync, so async dispatch pipelines stay
         intact (the fix for what keeps ``dynamic_probe`` off by default).
-        Off by default because data that is NOT narrow pays one extra
-        bandwidth-bound read (~7% on full-entropy 40M keys, measured —
-        see ROADMAP round 3); turn on when narrow-range inputs are
-        plausible. Valid with no promise: the range is measured, in-graph.
+        Measured on v5e at 40M (scripts/exp_device_probe.py): 0.6%
+        overhead on full-entropy data; 1.77x (966 Mk/s) on unpromised
+        narrow-range data. Off by default only because first execution of
+        cond-wrapped Pallas programs compiles at dispatch on some runtimes
+        (minutes at 40M via the axon tunnel); flip it on when narrow-range
+        inputs are plausible. Valid with no promise: the range is
+        measured, in-graph.
     """
 
     strategy: str = Strategy.AUTO

@@ -37,17 +37,29 @@ def enable_compilation_cache(path: str | None = None) -> str | None:
     env = os.environ.get("RST_COMPILE_CACHE")
     if env is not None and env in ("", "0", "off"):
         return None
-    # TPU-backed processes only (JAX_PLATFORMS unset or naming tpu/axon):
-    # the wins are the multi-second Mosaic/XLA:TPU compiles, while XLA:CPU
-    # AOT artifacts are machine-feature brittle on reload (observed
-    # "+prefer-no-scatter not supported on the host machine ... could lead
-    # to SIGILL" warnings when a CPU process reloads another's cache).
-    # Checked via env, not jax.default_backend(), so calling this never
-    # initializes the runtime (workers call it before
-    # jax.distributed.initialize).
-    plat = os.environ.get("JAX_PLATFORMS", "")
-    if plat and "tpu" not in plat and "axon" not in plat:
-        return None
+    if env:
+        # explicit path = explicit intent: bypass every heuristic below
+        pass
+    else:
+        # TPU-backed processes only (JAX_PLATFORMS unset or naming tpu):
+        # the wins are the multi-second Mosaic/XLA:TPU compiles, while
+        # XLA:CPU AOT artifacts are machine-feature brittle on reload
+        # (observed "+prefer-no-scatter not supported on the host machine
+        # ... could lead to SIGILL" when a CPU process reloads another's
+        # cache). Checked via env, not jax.default_backend(), so calling
+        # this never initializes the runtime (workers call it before
+        # jax.distributed.initialize).
+        plat = os.environ.get("JAX_PLATFORMS", "")
+        if plat and "tpu" not in plat:
+            return None
+        # The axon TPU tunnel cannot persist executables usefully: measured
+        # (round 3) a cache-writing cold CLI first call of 452 s and a
+        # cache-reading warm run that exceeded 15 minutes — strictly worse
+        # than no cache. Default off under the tunnel (its site dir marks
+        # the environment); real TPU runtimes keep the PGO analog.
+        import sys
+        if any(".axon_site" in p for p in sys.path):
+            return None
     path = env or path or _DEFAULT
     import jax
 
