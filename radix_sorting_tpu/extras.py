@@ -24,27 +24,81 @@ __all__ = ["lexsort", "unique_sorted", "segmented_sort", "segmented_argsort",
            "value_counts"]
 
 
+def _word_pairs(words, dtype):
+    """[(derived word, live width), ...] for one key's planes.
+
+    The KDF maps a b-bit dtype into a b-bit derived domain, so a narrow
+    dtype's single plane is bounded by 2**b; 64-bit keys contribute two
+    full-width planes.
+    """
+    words = tuple(words)
+    if len(words) == 2:
+        return [(words[0], 32), (words[1], 32)]
+    width = (np.dtype(dtype) if isinstance(dtype, np.dtype)
+             else jnp.dtype(dtype)).itemsize * 8
+    return [(words[0], min(32, width))]
+
+
 def _pack_narrow_words(pairs):
     """Pack width-bounded derived words into the fewest u32 sort operands.
 
     ``pairs`` is [(word, live_bits), ...] most significant first; every word
-    is < 2**live_bits (the KDF maps a b-bit dtype into a b-bit derived
-    domain), so concatenating fields within a u32 preserves the
+    is < 2**live_bits, so concatenating fields within a u32 preserves the
     lexicographic order exactly. The sorter is operand-width-bound
     (ROADMAP round-2 experiment 4 / round-3 compaction table), so a lexsort
     of four u8 columns runs as ONE key operand instead of four.
+
+    Returns ``(packed_words, layout)`` with ``layout[i] = (word_idx, shift,
+    bits)`` locating pair i's field — callers unpack fields after sorting,
+    or XOR a field's in-place mask to order it descending (a b-bit field's
+    complement is ``field ^ (2^b - 1)``, applied without disturbing its
+    neighbors).
     """
-    packed, acc, used = [], None, 0
+    groups, cur, cur_bits = [], [], 0
     for w, bits in pairs:
-        if acc is not None and used + bits <= 32:
-            acc = (acc << np.uint32(bits)) | w
-            used += bits
-        else:
-            if acc is not None:
-                packed.append(acc)
-            acc, used = w, bits
-    packed.append(acc)
-    return tuple(packed)
+        if cur and cur_bits + bits > 32:
+            groups.append(cur)
+            cur, cur_bits = [], 0
+        cur.append((w, bits))
+        cur_bits += bits
+    groups.append(cur)
+    packed, layout = [], []
+    for gi, g in enumerate(groups):
+        shift = sum(b for _, b in g)
+        acc = None
+        for w, bits in g:
+            shift -= bits
+            term = (w << np.uint32(shift)) if shift else w
+            acc = term if acc is None else acc | term
+            layout.append((gi, shift, bits))
+        packed.append(acc)
+    return tuple(packed), layout
+
+
+def _field_masks(layout, indices, num_words):
+    """Per-packed-word u32 masks covering the fields named by ``indices``."""
+    masks = [0] * num_words
+    for i in indices:
+        gi, shift, bits = layout[i]
+        masks[gi] |= ((1 << bits) - 1) << shift
+    return masks
+
+
+def _xor_masks(words, masks):
+    return tuple(w ^ np.uint32(m) if m else w for w, m in zip(words, masks))
+
+
+def _unpack_fields(sorted_words, layout):
+    """Recover each original plane from the sorted packed words."""
+    planes = []
+    for gi, shift, bits in layout:
+        w = sorted_words[gi]
+        if shift:
+            w = w >> np.uint32(shift)
+        if bits < 32:
+            w = w & np.uint32((1 << bits) - 1)
+        planes.append(w)
+    return planes
 
 
 def lexsort(keys: Sequence, *, config: SortConfig = DEFAULT_CONFIG) -> jax.Array:
@@ -69,13 +123,8 @@ def lexsort(keys: Sequence, *, config: SortConfig = DEFAULT_CONFIG) -> jax.Array
             n = int(w[0].shape[0])
         elif int(w[0].shape[0]) != n:
             raise ValueError("lexsort keys must share a common length")
-        if len(w) == 2:
-            pairs += [(w[0], 32), (w[1], 32)]
-        else:
-            width = np.dtype(dt).itemsize * 8 if isinstance(dt, np.dtype) \
-                else jnp.dtype(dt).itemsize * 8
-            pairs.append((w[0], min(32, width)))
-    packed = _pack_narrow_words(pairs)
+        pairs += _word_pairs(w, dt)
+    packed, _ = _pack_narrow_words(pairs)
     if config.descending:
         packed = kdf.complement(packed)
     _, perm = hw_engine.argsort_words(packed)
@@ -166,13 +215,27 @@ def segmented_sort(keys, segment_ids, *, config: SortConfig = DEFAULT_CONFIG):
     from .api import _as_words, _decode
 
     seg_words, seg_dtype = _as_words(segment_ids, False)
-    key_words, key_dtype = _as_words(keys, config.descending)
+    key_words, key_dtype = _as_words(keys, False)
     if seg_words[0].shape != key_words[0].shape:
         raise ValueError("segment_ids must match the keys' length")
-    words = tuple(seg_words) + tuple(key_words)
-    sw, _ = hw_engine.sort_words(words, (), stable=False)
-    sorted_ids = _decode(sw[: len(seg_words)], seg_dtype, False)
-    sorted_keys = _decode(sw[len(seg_words):], key_dtype, config.descending)
+    # Pack the (segment, key) composite into the fewest u32 operands
+    # (narrow fields concatenate; a u16-keyed u16-segmented sort is ONE
+    # operand instead of two). Descending applies to the KEYS only, so the
+    # key fields complement IN PLACE via their field masks — the segment
+    # fields stay ascending untouched.
+    seg_pairs = _word_pairs(seg_words, seg_dtype)
+    key_pairs = _word_pairs(key_words, key_dtype)
+    packed, layout = _pack_narrow_words(seg_pairs + key_pairs)
+    kmasks = _field_masks(layout, range(len(seg_pairs), len(layout)),
+                          len(packed))
+    if config.descending:
+        packed = _xor_masks(packed, kmasks)
+    sw, _ = hw_engine.sort_words(packed, (), stable=False)
+    if config.descending:
+        sw = _xor_masks(sw, kmasks)
+    planes = _unpack_fields(sw, layout)
+    sorted_ids = _decode(tuple(planes[: len(seg_pairs)]), seg_dtype, False)
+    sorted_keys = _decode(tuple(planes[len(seg_pairs):]), key_dtype, False)
     return sorted_keys, sorted_ids
 
 
@@ -181,16 +244,22 @@ def segmented_argsort(keys, segment_ids, *, config: SortConfig = DEFAULT_CONFIG,
     """Stable argsort by (segment, key): the permutation form of
     :func:`segmented_sort`, ties within a segment resolve to the lower index.
     """
-    from .api import _as_words
+    from .api import _as_words, _check_index_width
 
-    seg_words, _ = _as_words(segment_ids, False)
-    key_words, _ = _as_words(keys, config.descending)
+    seg_words, seg_dtype = _as_words(segment_ids, False)
+    key_words, key_dtype = _as_words(keys, False)
     if seg_words[0].shape != key_words[0].shape:
         raise ValueError("segment_ids must match the keys' length")
-    from .api import _check_index_width
     _check_index_width(int(key_words[0].shape[0]), index_dtype)
-    _, perm = hw_engine.argsort_words(tuple(seg_words) + tuple(key_words),
-                                      index_dtype=index_dtype)
+    seg_pairs = _word_pairs(seg_words, seg_dtype)
+    packed, layout = _pack_narrow_words(
+        seg_pairs + _word_pairs(key_words, key_dtype))
+    if config.descending:
+        # keys-descending in place; segments stay ascending (see
+        # segmented_sort)
+        packed = _xor_masks(packed, _field_masks(
+            layout, range(len(seg_pairs), len(layout)), len(packed)))
+    _, perm = hw_engine.argsort_words(packed, index_dtype=index_dtype)
     return perm
 
 

@@ -175,7 +175,9 @@ def test_lexsort_narrow_keys_pack(rng):
     # packing really happened: 4 u8 words -> 1 plane
     from radix_sorting_tpu.extras import _pack_narrow_words
     pairs = [(jnp.zeros(4, jnp.uint32), 8)] * 4
-    assert len(_pack_narrow_words(pairs)) == 1
+    packed, layout = _pack_narrow_words(pairs)
+    assert len(packed) == 1
+    assert [(g, s) for g, s, _ in layout] == [(0, 24), (0, 16), (0, 8), (0, 0)]
 
 
 def test_lexsort_mixed_widths_pack(rng):
@@ -218,3 +220,56 @@ def test_lexsort_u64_with_narrow(rng):
     b64 = rng.integers(0, 1 << 63, size=n).astype(np.uint64)
     perm = np.asarray(lexsort([a8, b64]))
     assert np.array_equal(perm, np.lexsort((a8, b64)).astype(np.uint32))
+
+
+def test_segmented_sort_packed_narrow(rng):
+    # u16 keys + u8 segment ids pack into one sort operand; oracle per segment
+    from radix_sorting_tpu.extras import segmented_sort
+    n = 6007
+    seg = np.sort(rng.integers(0, 40, size=n, dtype=np.uint8))
+    k = rng.integers(0, 1 << 16, size=n, dtype=np.uint16)
+    sk, sid = segmented_sort(jnp.asarray(k), jnp.asarray(seg))
+    order = np.lexsort((k, seg))
+    assert np.array_equal(np.asarray(sid), seg[order])
+    assert np.array_equal(np.asarray(sk), k[order])
+
+
+def test_segmented_sort_descending_keys_only(rng):
+    # descending applies to KEYS only: the key field complements in place,
+    # segment order stays ascending
+    from radix_sorting_tpu import SortConfig
+    from radix_sorting_tpu.extras import segmented_sort
+    n = 5005
+    seg = rng.integers(0, 12, size=n, dtype=np.uint8)
+    k = rng.integers(-900, 900, size=n, dtype=np.int16)
+    sk, sid = segmented_sort(jnp.asarray(k), jnp.asarray(seg),
+                             config=SortConfig(descending=True))
+    order = np.lexsort((-k.astype(np.int64), seg))
+    assert np.array_equal(np.asarray(sid), seg[order])
+    assert np.array_equal(np.asarray(sk), k[order])
+
+
+def test_segmented_argsort_packed(rng):
+    from radix_sorting_tpu import SortConfig
+    from radix_sorting_tpu.extras import segmented_argsort
+    n = 4009
+    seg = rng.integers(0, 300, size=n, dtype=np.uint16)
+    k = rng.integers(0, 256, size=n, dtype=np.uint8)
+    perm = np.asarray(segmented_argsort(jnp.asarray(k), jnp.asarray(seg)))
+    assert np.array_equal(perm, np.lexsort((k, seg)).astype(np.uint32))
+    permd = np.asarray(segmented_argsort(jnp.asarray(k), jnp.asarray(seg),
+                                         config=SortConfig(descending=True)))
+    assert np.array_equal(
+        permd, np.lexsort((255 - k, seg)).astype(np.uint32))
+
+
+def test_segmented_sort_wide_dtypes_unpacked(rng):
+    # f32 keys + u32 segments: no packing possible, route must still be exact
+    from radix_sorting_tpu.extras import segmented_sort
+    n = 3001
+    seg = rng.integers(0, 1 << 20, size=n, dtype=np.uint32)
+    k = rng.normal(size=n).astype(np.float32)
+    sk, sid = segmented_sort(jnp.asarray(k), jnp.asarray(seg))
+    order = np.lexsort((k, seg))
+    assert np.array_equal(np.asarray(sid), seg[order])
+    assert np.array_equal(np.asarray(sk), k[order])
