@@ -81,6 +81,41 @@ def main() -> int:
     tv, ti = top_k(xj, 10)
     check("top_k", np.array_equal(np.asarray(tv), np.sort(x)[::-1][:10]))
 
+    # round-3 surfaces -----------------------------------------------------
+    # in-graph range probe: narrow-range data at an offset, no promise
+    xnr = (x % np.uint32(5000)) + np.uint32(2_000_000_000)
+    out = np.asarray(rst.sort(jnp.asarray(xnr),
+                              config=rst.SortConfig(device_probe=True)))
+    check("device probe (in-graph range dispatch)",
+          np.array_equal(out, np.sort(xnr)))
+
+    # masked-u64 pairs through plane compaction (2 sorter operands)
+    cmask = (0xFF << 32) | 0x0000F000
+    k64 = (x64 & np.uint64(cmask)) if n >= 4 else x64
+    pay = np.arange(k64.size, dtype=np.uint32)
+    sk, sv = rst.sort_pairs(k64, jnp.asarray(pay), value_mask=cmask)
+    order = np.argsort(k64, kind="stable")
+    check("masked-u64 pairs (plane compaction)",
+          np.array_equal(np.asarray(sv), pay[order])
+          and np.array_equal(np.asarray(sk, dtype=np.uint64), k64[order]))
+
+    # packed lexsort: four u8 columns as one operand
+    from radix_sorting_tpu.extras import lexsort, segmented_sort
+    cols = [(x >> np.uint32(8 * i)).astype(np.uint8) for i in range(4)]
+    perm = np.asarray(lexsort([jnp.asarray(c) for c in cols]))
+    check("packed lexsort (4x u8)",
+          np.array_equal(perm, np.lexsort(tuple(cols)).astype(np.uint32)))
+
+    # packed segmented sort, keys-descending in place
+    seg = (x % np.uint32(37)).astype(np.uint8)
+    k16 = (x >> np.uint32(11)).astype(np.uint16)
+    sk2, sid = segmented_sort(jnp.asarray(k16), jnp.asarray(seg),
+                              config=rst.SortConfig(descending=True))
+    order = np.lexsort((np.uint16(0xFFFF) - k16, seg))
+    check("packed segmented sort (desc keys)",
+          np.array_equal(np.asarray(sid), seg[order])
+          and np.array_equal(np.asarray(sk2), k16[order]))
+
     a = np.sort(x[: n // 2])
     b = np.sort(x[n // 2:])
     out = np.asarray(merge_sorted(jnp.asarray(a), jnp.asarray(b)))
