@@ -186,7 +186,12 @@ def test_lexsort_mixed_widths_pack(rng):
     n = 4001
     a8 = rng.integers(0, 256, size=n, dtype=np.uint8)      # least significant
     b16 = rng.integers(-3000, 3000, size=n, dtype=np.int16)
-    c16 = (rng.integers(0, 1 << 16, size=n, dtype=np.uint16)).view(np.float16)
+    # finite f16 bit patterns of both signs only: the axon backend
+    # canonicalizes NaN payloads to 0x7E00 in ANY device f16 compute, so a
+    # host-side oracle over raw random bits diverges on chip (CLAUDE.md)
+    c16 = ((rng.integers(0, 0x7C00, size=n, dtype=np.uint16))
+           | (rng.integers(0, 2, size=n, dtype=np.uint16) << np.uint16(15))
+           ).view(np.float16)
     perm = np.asarray(lexsort([jnp.asarray(a8), jnp.asarray(b16),
                                jnp.asarray(c16)]))
     # oracle: stable sort by the same KDF composite (float16 total order)
