@@ -264,16 +264,23 @@ def sort(x, *, config: SortConfig = DEFAULT_CONFIG, value_mask: Optional[int] = 
         # *complemented* live bits, so pass the complemented mask
         if mask is not None:
             strategy = Strategy.COUNTING
-        elif cfg.device_probe and len(words) == 1:
+        elif cfg.device_probe and len(words) <= 2:
             from .ops.pallas_kernels import use_tpu_routes
             if use_tpu_routes():
                 # in-graph range probe: `lax.cond` routes narrow-range data
                 # to the counting tier with NO host sync (see counting_engine
                 # .sort_word_range_probe); order/values restored by decode
                 # (the complemented word's range is the complement of the
-                # original's — the probe is order-agnostic).
-                sw = (counting_engine.sort_word_range_probe(
-                    words[0], guard=cfg.detect_presorted),)
+                # original's — the probe is order-agnostic). Two-word (64-bit)
+                # keys probe the hi plane for constancy first: a constant hi
+                # drops to the single-word probe on lo (one sorter operand,
+                # then the same narrow-range counting route).
+                if len(words) == 1:
+                    sw = (counting_engine.sort_word_range_probe(
+                        words[0], guard=cfg.detect_presorted),)
+                else:
+                    sw = counting_engine.sort_words2_range_probe(
+                        words[0], words[1], guard=cfg.detect_presorted)
                 return _decode(sw, dtype, cfg.descending)
             strategy = Strategy.HW_SORT
         else:

@@ -74,12 +74,17 @@ class SortConfig:
         promise (dead bits are constant by measurement). Off by default:
         the host sync breaks async dispatch pipelines; turn on for
         low-entropy workloads called from Python.
-      device_probe: in AUTO strategy (keys-only, single-word keys on TPU),
-        dispatch IN-GRAPH on the measured key range: one fused min/max
-        reduce feeds a `lax.cond` that routes range-bounded data to the
-        counting tier (sort ``w - min``, add the offset back) and everything
-        else to the sorter — NO host sync, so async dispatch pipelines stay
-        intact (the fix for what keeps ``dynamic_probe`` off by default).
+      device_probe: in AUTO strategy (keys-only on TPU), dispatch IN-GRAPH
+        on the measured key range: one fused min/max reduce feeds a
+        `lax.cond` that routes range-bounded data to the counting tier
+        (sort ``w - min``, add the offset back) and everything else to the
+        sorter — NO host sync, so async dispatch pipelines stay intact
+        (the fix for what keeps ``dynamic_probe`` off by default).
+        Two-word (64-bit) keys probe the hi plane for constancy first:
+        when every key shares one 2^32 span (clustered timestamps,
+        offset ids) the sort drops to ONE sorter operand on the lo plane
+        (~2x the two-operand rate) and then through the same narrow-range
+        counting route.
         Measured on v5e at 40M (scripts/exp_device_probe.py): 0.6%
         overhead on full-entropy data; 1.77x (966 Mk/s) on unpromised
         narrow-range data. Off by default only because first execution of

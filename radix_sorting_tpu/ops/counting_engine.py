@@ -44,7 +44,8 @@ from .histogram import digit_histogram
 from .pallas_kernels import use_tpu_routes
 
 __all__ = ["counting_sort_compact", "sort_word_counting",
-           "sort_words_counting", "sort_word_range_probe", "probe_bins"]
+           "sort_words_counting", "sort_word_range_probe",
+           "sort_words2_range_probe", "probe_bins"]
 
 
 # Plain regeneration is O(bins) compares per output element, so it loses to
@@ -222,6 +223,44 @@ def sort_word_range_probe(w: jax.Array, guard: bool = False) -> jax.Array:
     # optimization_barrier: see counting_sort_compact note
     return lax.optimization_barrier(
         lax.cond(mx - mn < jnp.uint32(bins), narrow, sorter))
+
+
+def sort_words2_range_probe(hi: jax.Array, lo: jax.Array,
+                            guard: bool = False):
+    """Keys-only sort of a two-word (64-bit) derived key with in-graph dispatch.
+
+    The 64-bit generalization of :func:`sort_word_range_probe` (the
+    reference's always-on probe, `radix_sort.hpp:64-70`, applied to the
+    multipass decomposition `radix_sort_u64_multipass.c:117-118`): one fused
+    min/max reduce over the HIGH plane decides — on device, no host sync —
+    whether the hi word is constant across the array. If so the order is
+    determined by the low plane alone, so the program drops to the
+    single-word probe (which itself routes narrow lo ranges on to the
+    counting tier): a 64-bit key population inside one 2^32 span — clustered
+    timestamps, offset-based ids — sorts with ONE sorter operand instead of
+    two, and with a narrow lo range at counting speed. Otherwise the
+    two-word sorter runs; the cost on full-entropy data is one extra
+    bandwidth-bound reduce of the hi plane.
+
+    Returns the sorted ``(hi, lo)`` planes.
+    """
+    from . import hw_engine
+
+    mn = jnp.min(hi)
+    mx = jnp.max(hi)
+
+    def full():
+        if guard:
+            ws, _ = hw_engine.sort_words_presort_guard((hi, lo), stable=False)
+            return tuple(ws)
+        return tuple(lax.sort((hi, lo), dimension=0, is_stable=False,
+                              num_keys=2))
+
+    def hi_const():
+        # a constant plane is its own sorted self; order rides on lo alone
+        return (hi, sort_word_range_probe(lo, guard=guard))
+
+    return lax.optimization_barrier(lax.cond(mn == mx, hi_const, full))
 
 
 def sort_word_counting(w: jax.Array, live_mask: int,

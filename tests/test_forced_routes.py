@@ -180,6 +180,53 @@ def test_device_probe_narrow_signed_and_float(rng):
     assert np.array_equal(out, np.sort(xf))
 
 
+def test_device_probe_u64_hi_const_narrow_lo(rng):
+    # 64-bit keys inside one 2^32 span with a narrow lo range: the hi-plane
+    # constancy probe drops to the single-word probe, which routes on to the
+    # counting tier — all in-graph
+    import radix_sorting_tpu as rst
+    cfg = rst.SortConfig(device_probe=True)
+    base = np.uint64(0x1234_5678_9000_0000)
+    x = base + rng.integers(0, 2000, size=500_011).astype(np.uint64)
+    out = np.asarray(rst.sort(x, config=cfg), dtype=np.uint64)
+    assert np.array_equal(out, np.sort(x))
+    outd = np.asarray(rst.sort(x, config=cfg.replace(descending=True)),
+                      dtype=np.uint64)
+    assert np.array_equal(outd, np.sort(x)[::-1])
+
+
+def test_device_probe_u64_hi_const_wide_lo(rng):
+    # constant hi plane, full-entropy lo: takes the ONE-operand sorter branch
+    import radix_sorting_tpu as rst
+    cfg = rst.SortConfig(device_probe=True)
+    base = np.uint64(7) << np.uint64(32)
+    x = base + rng.integers(0, 1 << 32, size=300_003).astype(np.uint64)
+    out = np.asarray(rst.sort(x, config=cfg), dtype=np.uint64)
+    assert np.array_equal(out, np.sort(x))
+
+
+def test_device_probe_u64_varying_hi_takes_full_sorter(rng):
+    import radix_sorting_tpu as rst
+    cfg = rst.SortConfig(device_probe=True)
+    x = rng.integers(0, 1 << 63, size=300_005, dtype=np.uint64)
+    out = np.asarray(rst.sort(x, config=cfg), dtype=np.uint64)
+    assert np.array_equal(out, np.sort(x))
+    # i64 through the sign-flip KDF: one negative key breaks hi constancy
+    xi = x.astype(np.int64)
+    out = np.asarray(rst.sort(xi, config=cfg), dtype=np.int64)
+    assert np.array_equal(out, np.sort(xi))
+
+
+def test_device_probe_f64_band(rng):
+    # f64 values in a tight positive band: mangled hi plane is constant,
+    # lo plane narrow -> counting route end to end
+    import radix_sorting_tpu as rst
+    cfg = rst.SortConfig(device_probe=True)
+    x = 1.0 + rng.integers(0, 1500, size=500_009).astype(np.float64) * 2.0**-52
+    out = np.asarray(rst.sort(x, config=cfg), dtype=np.float64)
+    assert np.array_equal(out, np.sort(x))
+
+
 def test_device_probe_skewed_inner_fallback():
     # range fits the probe domain but one output block overruns the window:
     # the INNER lax.cond falls back to the sorter — still exact
