@@ -89,6 +89,14 @@ def main() -> int:
     check("device probe (in-graph range dispatch)",
           np.array_equal(out, np.sort(xnr)))
 
+    # two-word device probe: clustered u64 (constant hi plane, narrow lo)
+    xc = (np.uint64(0xABCD_0000_4000_0000)
+          + rng.integers(0, 4000, size=n).astype(np.uint64))
+    out = np.asarray(rst.sort(xc, config=rst.SortConfig(device_probe=True)),
+                     dtype=np.uint64)
+    check("device probe u64 (clustered two-word keys)",
+          np.array_equal(out, np.sort(xc)))
+
     # masked-u64 pairs through plane compaction (2 sorter operands)
     cmask = (0xFF << 32) | 0x0000F000
     k64 = (x64 & np.uint64(cmask)) if n >= 4 else x64

@@ -85,6 +85,50 @@ def main():
                       "speedup": round(ms_nar_sorter / ms_nar, 2),
                       "Mkeys": round(n / ms_nar / 1e3, 0)}), flush=True)
 
+    # two-word (u64) probe: constant hi plane, full-entropy lo — the
+    # one-operand-sorter branch vs the plain two-operand sorter
+    from radix_sorting_tpu.ops.counting_engine import sort_words2_range_probe
+
+    hi = jnp.full((n,), jnp.uint32(0x12345678))
+    lo = xj
+
+    def sorter2(c):
+        h, l = lax.sort((hi, c), dimension=0, is_stable=False, num_keys=2)
+        return l
+
+    def probed2(c):
+        h, l = sort_words2_range_probe(hi, c)
+        return l
+
+    out = np.asarray(jax.jit(probed2)(xj))
+    ok = bool(np.array_equal(out, np.sort(x)))
+    ms_2op = steady_ms(sorter2, xj, reps=6)
+    ms_p2 = steady_ms(probed2, xj, reps=6)
+    print(json.dumps({"exp": "probe_u64_hi_const_wide_lo", "n": n,
+                      "bit_exact": ok,
+                      "sorter2op_ms": round(ms_2op, 2),
+                      "probed_ms": round(ms_p2, 2),
+                      "speedup": round(ms_2op / ms_p2, 2),
+                      "Mkeys": round(n / ms_p2 / 1e3, 0)}), flush=True)
+
+    # varying hi plane: the probe's overhead when 64-bit data is NOT clustered
+    hiv = jnp.asarray(rng.integers(0, 1 << 32, size=n, dtype=np.uint32))
+
+    def sorter2v(c):
+        h, l = lax.sort((hiv, c), dimension=0, is_stable=False, num_keys=2)
+        return l
+
+    def probed2v(c):
+        h, l = sort_words2_range_probe(hiv, c)
+        return l
+
+    ms_2v = steady_ms(sorter2v, xj, reps=6)
+    ms_p2v = steady_ms(probed2v, xj, reps=6)
+    print(json.dumps({"exp": "probe_u64_varying_hi_overhead", "n": n,
+                      "sorter2op_ms": round(ms_2v, 2),
+                      "probed_ms": round(ms_p2v, 2),
+                      "overhead": round(ms_p2v / ms_2v - 1, 3)}), flush=True)
+
 
 if __name__ == "__main__":
     main()
