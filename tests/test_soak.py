@@ -154,6 +154,45 @@ def test_soak_differential_vs_reference_binary(seed, tmp_path):
         seed, tname, n, mask, rev, style)
 
 
+@pytest.mark.parametrize("seed", range(20))
+def test_soak_device_probe(seed, monkeypatch):
+    """In-graph range-probe soak: clustered / skewed / wide inputs through
+    `device_probe=True` over one- and two-word dtypes (both lax.cond
+    branches, the inner window-fit fallback, and the u64 hi-plane probe)."""
+    import jax
+    if jax.default_backend() != "tpu":
+        monkeypatch.setenv("RST_FORCE_TPU_ROUTES", "1")
+        jax.clear_caches()
+    r = np.random.Generator(np.random.PCG64(0xD0 + seed))
+    dtype = [np.uint32, np.int32, np.float32,
+             np.uint64, np.int64, np.float64][seed % 6]
+    n = int(r.integers(2, 80_000))
+    style = seed % 3
+    if style == 0:        # clustered: narrow range at a random offset
+        width = int(r.integers(1, 1 << int(r.integers(1, 14))))
+        raw = r.integers(0, width, size=n, dtype=np.uint64)
+        off = int(r.integers(0, 1 << 60))
+        x = (raw + np.uint64(off)).astype(np.uint64)
+    elif style == 1:      # skewed sparse: may overrun the regen window
+        vals = r.integers(0, 1 << 62, size=max(1, n // 50), dtype=np.uint64)
+        x = r.choice(vals, size=n).astype(np.uint64)
+    else:                 # wide: full entropy
+        x = r.integers(0, 1 << 64, size=n, dtype=np.uint64)
+    bits = np.dtype(dtype).itemsize * 8
+    x &= np.uint64((1 << bits) - 1)
+    x = x.astype(np.uint32).view(dtype) if bits == 32 else x.view(dtype)
+    cfg = rst.SortConfig(device_probe=True, descending=bool(seed % 2))
+    k = _key(x)
+    order = np.argsort(np.where(cfg.descending, ~k, k), kind="stable")
+    oracle = x[order]
+    out = np.asarray(rst.sort(x if bits == 8 * 8 else jnp.asarray(x),
+                              config=cfg), dtype=dtype)
+    assert np.array_equal(out.view(f"u{x.dtype.itemsize}"),
+                          oracle.view(f"u{x.dtype.itemsize}")), (seed, dtype, n)
+    if jax.default_backend() != "tpu":
+        jax.clear_caches()
+
+
 @pytest.mark.parametrize("seed", range(15))
 def test_soak_distributed_records(seed):
     """Distributed argsort/pairs soak: both exchange backends, overlap mode,
