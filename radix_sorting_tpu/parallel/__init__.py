@@ -11,6 +11,7 @@ from .balanced import (  # noqa: F401
     distributed_unique_sorted,
 )
 from .histogram import global_digit_histogram, global_live_bit_mask  # noqa: F401
+from .rdma import rdma_all_to_all  # noqa: F401
 from .shuffle import (  # noqa: F401
     distributed_argsort,
     distributed_argsort_u32,

@@ -134,7 +134,7 @@ def _select_pivots(part_sorted, targets, axis_name, n_local: int):
 
 
 def _balanced_body(planes, axis_name, num_devices, num_key_planes, strict,
-                   chunk, n_local, overlap=False):
+                   chunk, n_local, overlap=False, exchange="xla"):
     """Per-shard SPMD body. planes = key planes (MSW first) + payload planes.
 
     strict=True means the key planes alone form a strict total order (rank and
@@ -149,6 +149,11 @@ def _balanced_body(planes, axis_name, num_devices, num_key_planes, strict,
     concurrently — SURVEY §7 hard part #3). Costs one extra (empty,
     sentinel-only) exchange round of traffic; only measurable on hardware
     with async collectives, but structurally ready and result-identical.
+
+    exchange="rdma" swaps the per-round `lax.all_to_all` for the Pallas
+    `make_async_remote_copy` ring kernel (:mod:`.rdma`) — the
+    SURVEY-prescribed explicit-RDMA exchange variant. Result-identical;
+    relative performance must be measured on a real pod (ROADMAP).
     """
     D = num_devices
     c = chunk
@@ -211,6 +216,9 @@ def _balanced_body(planes, axis_name, num_devices, num_key_planes, strict,
         valid = j[None, :] < this_count[:, None]
         send = jnp.stack([jnp.where(valid, jnp.take(p, idx), _SENTINEL)
                           for p in shipped])                         # (P, D, c)
+        if exchange == "rdma":
+            from .rdma import rdma_all_to_all
+            return rdma_all_to_all(send, axis_name, D, axis=1)
         return lax.all_to_all(send, axis_name, split_axis=1, concat_axis=1,
                               tiled=True)
 
@@ -264,7 +272,7 @@ def _check_selection_width(n_padded: int) -> None:
 
 
 def _run_balanced(planes, mesh, axis_name, num_key_planes, strict, chunk,
-                  overlap=False):
+                  overlap=False, exchange="xla"):
     """Pad to D shards, shard_map the balanced body, return static counts.
 
     Strict-mode convention: the LAST key plane (``planes[num_key_planes-1]``)
@@ -280,6 +288,8 @@ def _run_balanced(planes, mesh, axis_name, num_key_planes, strict, chunk,
     n = int(planes[0].shape[0])
     if n < 1:
         raise ValueError("balanced distributed sort needs n >= 1")
+    if exchange not in ("xla", "rdma"):
+        raise ValueError(f"exchange must be 'xla' or 'rdma', got {exchange!r}")
     _check_selection_width(n + (-n) % D)
     pad_total = (-n) % D
     if pad_total:
@@ -324,6 +334,7 @@ def _run_balanced(planes, mesh, axis_name, num_key_planes, strict, chunk,
         chunk=chunk,
         n_local=n_local,
         overlap=overlap,
+        exchange=exchange,
     )
     nplanes = len(planes)
     mapped = jax.shard_map(
@@ -336,13 +347,15 @@ def _run_balanced(planes, mesh, axis_name, num_key_planes, strict, chunk,
     return mapped(*planes), counts, overflow
 
 
-@partial(jax.jit, static_argnames=("mesh", "axis_name", "chunk", "overlap"))
+@partial(jax.jit, static_argnames=("mesh", "axis_name", "chunk", "overlap",
+                                   "exchange"))
 def distributed_sort_balanced_u32(
     x: jax.Array,
     mesh: Mesh,
     axis_name: str = "shards",
     chunk: Optional[int] = None,
     overlap: bool = False,
+    exchange: str = "xla",
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Keys-only balanced distributed sort of a u32 array over a 1-D mesh.
 
@@ -356,17 +369,19 @@ def distributed_sort_balanced_u32(
     """
     (sp,), counts, overflow = _run_balanced(
         (x,), mesh, axis_name, num_key_planes=1, strict=False, chunk=chunk,
-        overlap=overlap)
+        overlap=overlap, exchange=exchange)
     return sp, counts, overflow
 
 
-@partial(jax.jit, static_argnames=("mesh", "axis_name", "chunk", "overlap"))
+@partial(jax.jit, static_argnames=("mesh", "axis_name", "chunk", "overlap",
+                                   "exchange"))
 def distributed_argsort_balanced_u32(
     x: jax.Array,
     mesh: Mesh,
     axis_name: str = "shards",
     chunk: Optional[int] = None,
     overlap: bool = False,
+    exchange: str = "xla",
 ):
     """Balanced distributed stable rank sort (argsort) of a u32 array.
 
@@ -378,11 +393,12 @@ def distributed_argsort_balanced_u32(
     idx = jnp.arange(n, dtype=jnp.uint32)
     (sk, sp), counts, overflow = _run_balanced(
         (x, idx), mesh, axis_name, num_key_planes=2, strict=True, chunk=chunk,
-        overlap=overlap)
+        overlap=overlap, exchange=exchange)
     return sk, sp, counts, overflow
 
 
-@partial(jax.jit, static_argnames=("mesh", "axis_name", "chunk", "overlap"))
+@partial(jax.jit, static_argnames=("mesh", "axis_name", "chunk", "overlap",
+                                   "exchange"))
 def distributed_sort_pairs_balanced_u32(
     x: jax.Array,
     payload: jax.Array,
@@ -390,6 +406,7 @@ def distributed_sort_pairs_balanced_u32(
     axis_name: str = "shards",
     chunk: Optional[int] = None,
     overlap: bool = False,
+    exchange: str = "xla",
 ):
     """Balanced distributed stable record sort: u32 keys + one u32 payload plane.
 
@@ -399,7 +416,8 @@ def distributed_sort_pairs_balanced_u32(
     idx = jnp.arange(n, dtype=jnp.uint32)
     (sk, _, pl), counts, overflow = _run_balanced(
         (x, idx, payload.astype(jnp.uint32)), mesh, axis_name,
-        num_key_planes=2, strict=True, chunk=chunk, overlap=overlap)
+        num_key_planes=2, strict=True, chunk=chunk, overlap=overlap,
+        exchange=exchange)
     return sk, pl, counts, overflow
 
 
@@ -410,6 +428,7 @@ def distributed_sort_balanced(
     descending: bool = False,
     chunk: Optional[int] = None,
     overlap: bool = False,
+    exchange: str = "xla",
 ):
     """Dtype-generic balanced distributed sort: any supported dtype, either order.
 
@@ -423,7 +442,7 @@ def distributed_sort_balanced(
     words, dtype = _as_words(x, descending)
     out_words, counts, overflow = _run_balanced(
         tuple(words), mesh, axis_name, num_key_planes=len(words),
-        strict=False, chunk=chunk, overlap=overlap)
+        strict=False, chunk=chunk, overlap=overlap, exchange=exchange)
     vals = _decode(tuple(out_words), dtype, descending)
     return vals, counts, overflow
 
@@ -446,6 +465,7 @@ def distributed_argsort_balanced(
     descending: bool = False,
     chunk: Optional[int] = None,
     overlap: bool = False,
+    exchange: str = "xla",
 ):
     """Dtype-generic balanced distributed stable rank sort.
 
@@ -460,7 +480,7 @@ def distributed_argsort_balanced(
     out, counts, overflow = _run_balanced(
         tuple(words) + (idx,), mesh, axis_name,
         num_key_planes=len(words) + 1, strict=True, chunk=chunk,
-        overlap=overlap)
+        overlap=overlap, exchange=exchange)
     vals = _decode(tuple(out[: len(words)]), dtype, descending)
     return vals, out[len(words)], counts, overflow
 
@@ -473,6 +493,7 @@ def distributed_sort_pairs_balanced(
     descending: bool = False,
     chunk: Optional[int] = None,
     overlap: bool = False,
+    exchange: str = "xla",
 ):
     """Dtype-generic balanced distributed stable record sort.
 
@@ -490,7 +511,8 @@ def distributed_sort_pairs_balanced(
     nk = len(words) + 1
     out, counts, overflow = _run_balanced(
         tuple(words) + (idx,) + payload_planes, mesh, axis_name,
-        num_key_planes=nk, strict=True, chunk=chunk, overlap=overlap)
+        num_key_planes=nk, strict=True, chunk=chunk, overlap=overlap,
+        exchange=exchange)
     sorted_keys = _decode(tuple(out[: len(words)]), dtype, descending)
     return (sorted_keys, decode_payload_tree(out[nk:], ctx), counts, overflow)
 
