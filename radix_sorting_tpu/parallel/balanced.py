@@ -207,10 +207,12 @@ def _balanced_body(planes, axis_name, num_devices, num_key_planes, strict,
     num_rounds = (gmax + c - 1) // c
     j = jnp.arange(c, dtype=jnp.int32)
 
-    def exchange(r):
+    def exchange_round(r):
         """Gather + all_to_all round r's chunks. Depends only on the sorted
         shard and r — never on the accumulator — which is what lets the
-        overlap mode run it concurrently with placement."""
+        overlap mode run it concurrently with placement. (Named distinctly
+        from the ``exchange`` parameter: a ``def exchange`` here would shadow
+        it and silently disable the RDMA route.)"""
         this_count = jnp.clip(out_counts - r * c, 0, c)              # (D,)
         idx = jnp.clip(out_starts[:, None] + r * c + j[None, :], 0, n_local - 1)
         valid = j[None, :] < this_count[:, None]
@@ -243,13 +245,14 @@ def _balanced_body(planes, axis_name, num_devices, num_key_planes, strict,
         # sentinel exchange that is never placed)
         def round_body(r, carry):
             acc, recv_r = carry
-            recv_next = exchange(r + 1)
+            recv_next = exchange_round(r + 1)
             return place(r, recv_r, acc), recv_next
 
-        acc, _ = lax.fori_loop(0, num_rounds, round_body, (acc0, exchange(0)))
+        acc, _ = lax.fori_loop(0, num_rounds, round_body,
+                               (acc0, exchange_round(0)))
     else:
         def round_body(r, acc):
-            return place(r, exchange(r), acc)
+            return place(r, exchange_round(r), acc)
 
         acc = lax.fori_loop(0, num_rounds, round_body, acc0)
 

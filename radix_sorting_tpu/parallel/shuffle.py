@@ -97,7 +97,7 @@ def _device_of_bucket(global_hist: jax.Array, num_devices: int) -> jax.Array:
 
 
 def _shard_body(planes, axis_name, num_devices, splitter_bits, capacity_per_peer,
-                deal, num_key_planes, valid_total):
+                deal, num_key_planes, valid_total, exchange="xla"):
     """Per-shard SPMD body.
 
     planes: tuple of (n_local,) uint32 arrays; planes[:num_key_planes] are
@@ -186,7 +186,16 @@ def _shard_body(planes, axis_name, num_devices, splitter_bits, capacity_per_peer
         jnp.where(valid, jnp.take(p, flat_idx, axis=0), _SENTINEL)
         for p in sorted_planes
     ])                                                   # (planes, D, C)
-    recv = lax.all_to_all(send, axis_name, split_axis=1, concat_axis=1, tiled=True)
+    # The bulk data exchange optionally rides the explicit-RDMA ring kernel
+    # (`.rdma`), like the balanced backend; the tiny counts collective (and
+    # the fixed pre-balancing deal above) stay on the XLA collective — a
+    # (D,)-int32 exchange has nothing to overlap.
+    if exchange == "rdma":
+        from .rdma import rdma_all_to_all
+        recv = rdma_all_to_all(send, axis_name, num_devices, axis=1)
+    else:
+        recv = lax.all_to_all(send, axis_name, split_axis=1, concat_axis=1,
+                              tiled=True)
     recv_counts = lax.all_to_all(out_counts, axis_name, split_axis=0, concat_axis=0,
                                  tiled=True)
 
@@ -214,8 +223,10 @@ def _shard_body(planes, axis_name, num_devices, splitter_bits, capacity_per_peer
 
 
 def _run_shuffle(planes, mesh, axis_name, splitter_bits, slack, exact,
-                 num_key_planes):
+                 num_key_planes, exchange="xla"):
     """Pad, shard_map the shuffle body over the mesh, adjust counts."""
+    if exchange not in ("xla", "rdma"):
+        raise ValueError(f"exchange must be 'xla' or 'rdma', got {exchange!r}")
     D = mesh.shape[axis_name]
     n = planes[0].shape[0]
     if n < D * D:
@@ -245,6 +256,7 @@ def _run_shuffle(planes, mesh, axis_name, splitter_bits, slack, exact,
         deal=not exact,
         num_key_planes=num_key_planes,
         valid_total=n,
+        exchange=exchange,
     )
     nplanes = len(planes)
     mapped = jax.shard_map(
@@ -269,7 +281,8 @@ def _run_shuffle(planes, mesh, axis_name, splitter_bits, slack, exact,
     return sorted_planes, counts, overflow
 
 
-@partial(jax.jit, static_argnames=("mesh", "axis_name", "splitter_bits", "slack", "exact"))
+@partial(jax.jit, static_argnames=("mesh", "axis_name", "splitter_bits", "slack",
+                                   "exact", "exchange"))
 def distributed_sort_u32(
     x: jax.Array,
     mesh: Mesh,
@@ -277,6 +290,7 @@ def distributed_sort_u32(
     splitter_bits: int = 12,
     slack: float = 0.5,
     exact: bool = False,
+    exchange: str = "xla",
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Sort a u32 array sharded over a 1-D mesh (keys only).
 
@@ -302,11 +316,13 @@ def distributed_sort_u32(
         the result is incomplete: retry with ``exact=True`` or more slack.
     """
     (sorted_padded,), counts, overflow = _run_shuffle(
-        (x,), mesh, axis_name, splitter_bits, slack, exact, num_key_planes=1)
+        (x,), mesh, axis_name, splitter_bits, slack, exact, num_key_planes=1,
+        exchange=exchange)
     return sorted_padded, counts, overflow
 
 
-@partial(jax.jit, static_argnames=("mesh", "axis_name", "splitter_bits", "slack", "exact"))
+@partial(jax.jit, static_argnames=("mesh", "axis_name", "splitter_bits", "slack",
+                                   "exact", "exchange"))
 def distributed_argsort_u32(
     x: jax.Array,
     mesh: Mesh,
@@ -314,6 +330,7 @@ def distributed_argsort_u32(
     splitter_bits: int = 12,
     slack: float = 0.5,
     exact: bool = False,
+    exchange: str = "xla",
 ):
     """Distributed stable rank sort: global argsort of a mesh-sharded u32 array.
 
@@ -329,7 +346,8 @@ def distributed_argsort_u32(
     n = x.shape[0]
     idx = jnp.arange(n, dtype=jnp.uint32)
     (sk, sp), counts, overflow = _run_shuffle(
-        (x, idx), mesh, axis_name, splitter_bits, slack, exact, num_key_planes=2)
+        (x, idx), mesh, axis_name, splitter_bits, slack, exact,
+        num_key_planes=2, exchange=exchange)
     return sk, sp, counts, overflow
 
 
@@ -363,26 +381,30 @@ def distributed_sort(
         from .balanced import distributed_sort_balanced
         return distributed_sort_balanced(
             x, mesh, axis_name, descending=descending, chunk=kw.get("chunk"),
-            overlap=kw.get("overlap", False))
+            overlap=kw.get("overlap", False),
+            exchange=kw.get("exchange", "xla"))
     from ..api import _as_words, _decode
     words, dtype = _as_words(x, descending)
     if len(words) == 1:
         (sp,), counts, overflow = _run_shuffle(
             (words[0],), mesh, axis_name,
             kw.get("splitter_bits", 12), kw.get("slack", 0.5),
-            kw.get("exact", False), num_key_planes=1)
+            kw.get("exact", False), num_key_planes=1,
+            exchange=kw.get("exchange", "xla"))
         vals = _decode((sp,), dtype, descending)
         return vals, counts, overflow
     hi, lo = words
     (shi, slo), counts, overflow = _run_shuffle(
         (hi, lo), mesh, axis_name,
         kw.get("splitter_bits", 12), kw.get("slack", 0.5),
-        kw.get("exact", False), num_key_planes=2)
+        kw.get("exact", False), num_key_planes=2,
+        exchange=kw.get("exchange", "xla"))
     vals = _decode((shi, slo), dtype, descending)
     return vals, counts, overflow
 
 
-@partial(jax.jit, static_argnames=("mesh", "axis_name", "splitter_bits", "slack", "exact"))
+@partial(jax.jit, static_argnames=("mesh", "axis_name", "splitter_bits", "slack",
+                                   "exact", "exchange"))
 def distributed_sort_pairs_u32(
     x: jax.Array,
     payload: jax.Array,
@@ -391,6 +413,7 @@ def distributed_sort_pairs_u32(
     splitter_bits: int = 12,
     slack: float = 0.5,
     exact: bool = False,
+    exchange: str = "xla",
 ):
     """Distributed stable record sort: keys + one u32 payload plane.
 
@@ -402,7 +425,7 @@ def distributed_sort_pairs_u32(
     idx = jnp.arange(n, dtype=jnp.uint32)
     (sk, _, pl), counts, overflow = _run_shuffle(
         (x, idx, payload.astype(jnp.uint32)), mesh, axis_name, splitter_bits,
-        slack, exact, num_key_planes=2)
+        slack, exact, num_key_planes=2, exchange=exchange)
     return sk, pl, counts, overflow
 
 
@@ -437,7 +460,8 @@ def distributed_argsort(
     out, counts, overflow = _run_shuffle(
         tuple(words) + (idx,), mesh, axis_name,
         kw.get("splitter_bits", 12), kw.get("slack", 0.5),
-        kw.get("exact", False), num_key_planes=len(words) + 1)
+        kw.get("exact", False), num_key_planes=len(words) + 1,
+        exchange=kw.get("exchange", "xla"))
     vals = _decode(tuple(out[: len(words)]), dtype, descending)
     return vals, out[len(words)], counts, overflow
 
@@ -474,14 +498,15 @@ def distributed_sort_pairs(
     out, counts, overflow = _run_shuffle(
         tuple(words) + (idx,) + payload_planes, mesh, axis_name,
         kw.get("splitter_bits", 12), kw.get("slack", 0.5),
-        kw.get("exact", False), num_key_planes=nk)
+        kw.get("exact", False), num_key_planes=nk,
+        exchange=kw.get("exchange", "xla"))
     sorted_keys = _decode(tuple(out[: len(words)]), dtype, descending)
     return (sorted_keys, decode_payload_tree(out[nk:], ctx), counts, overflow)
 
 
 def _check_method_kwargs(method: str, kw) -> None:
-    _ALLOWED = {"balanced": {"chunk", "overlap"},
-                "shuffle": {"splitter_bits", "slack", "exact"}}
+    _ALLOWED = {"balanced": {"chunk", "overlap", "exchange"},
+                "shuffle": {"splitter_bits", "slack", "exact", "exchange"}}
     if method not in _ALLOWED:
         raise ValueError(f"unknown method {method!r}; 'balanced' or 'shuffle'")
     stray = set(kw) - _ALLOWED[method]

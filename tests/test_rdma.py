@@ -110,6 +110,57 @@ def test_balanced_sort_rdma_exchange_end_to_end(_race_detect_env):
     assert _no_races()
 
 
+def test_rdma_route_actually_taken(_race_detect_env, monkeypatch):
+    # Regression: an inner ``def exchange`` in _balanced_body once shadowed
+    # the ``exchange=`` parameter, so exchange="rdma" silently compiled the
+    # XLA collective instead (result-identical, hence invisible to the
+    # end-to-end tests above). Assert the RDMA kernel is really in the trace.
+    from radix_sorting_tpu.parallel import (distributed_sort_balanced_u32,
+                                            gather_sorted, make_sort_mesh)
+    from radix_sorting_tpu.parallel import rdma as rdma_mod
+    _mesh()
+    mesh = make_sort_mesh(8)
+    calls = []
+    real = rdma_mod.rdma_all_to_all
+
+    def counting(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(rdma_mod, "rdma_all_to_all", counting)
+    r = np.random.default_rng(3)
+    x = r.integers(0, 1 << 32, 20_011, dtype=np.uint32)
+    sp, counts, ovf = distributed_sort_balanced_u32(
+        jnp.asarray(x), mesh, chunk=501, exchange="rdma")
+    assert np.array_equal(gather_sorted(sp, counts, ovf), np.sort(x))
+    assert calls, "exchange='rdma' compiled without invoking rdma_all_to_all"
+
+
+def test_shuffle_rdma_exchange(_race_detect_env, monkeypatch):
+    # the single-collective shuffle backend with the RDMA bulk exchange:
+    # result-identical to the XLA collective and really on the RDMA route
+    from radix_sorting_tpu.parallel import (distributed_sort_u32,
+                                            gather_sorted, make_sort_mesh)
+    from radix_sorting_tpu.parallel import rdma as rdma_mod
+    _mesh()
+    mesh = make_sort_mesh(8)
+    calls = []
+    real = rdma_mod.rdma_all_to_all
+
+    def counting(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(rdma_mod, "rdma_all_to_all", counting)
+    r = np.random.default_rng(0xDDC)
+    x = r.integers(0, 1 << 32, 30_029, dtype=np.uint32)
+    sp, counts, ovf = distributed_sort_u32(jnp.asarray(x), mesh,
+                                           exchange="rdma")
+    assert np.array_equal(gather_sorted(sp, counts, ovf), np.sort(x))
+    assert calls, "exchange='rdma' compiled without invoking rdma_all_to_all"
+    assert _no_races()
+
+
 def test_balanced_pairs_rdma_exchange(_race_detect_env):
     from radix_sorting_tpu.parallel import (distributed_sort_pairs_balanced,
                                             gather_sorted, make_sort_mesh)
