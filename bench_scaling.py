@@ -120,7 +120,11 @@ def main() -> int:
     ap.add_argument("--devices", default=None,
                     help="comma-separated D list (default 1,2,4,... up to "
                          "the device count)")
-    ap.add_argument("--methods", default="balanced,overlap,shuffle")
+    ap.add_argument("--methods", default="balanced,overlap,shuffle",
+                    help="comma list: balanced, overlap, shuffle, "
+                         "balanced-rdma, shuffle-rdma (RDMA = the Pallas "
+                         "make_async_remote_copy exchange — the pod-day "
+                         "XLA-vs-RDMA comparison is one flag)")
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--out", default=None, help="report directory")
     ap.add_argument("--processes", type=int, default=0,
@@ -191,6 +195,12 @@ def main() -> int:
                 x, mesh, overlap=True)[0]
         elif name == "shuffle":
             methods[name] = lambda x, mesh: distributed_sort_u32(x, mesh)[0]
+        elif name == "balanced-rdma":
+            methods[name] = lambda x, mesh: distributed_sort_balanced_u32(
+                x, mesh, exchange="rdma")[0]
+        elif name == "shuffle-rdma":
+            methods[name] = lambda x, mesh: distributed_sort_u32(
+                x, mesh, exchange="rdma")[0]
         else:
             raise SystemExit(f"unknown method {name!r}")
 
