@@ -264,7 +264,12 @@ def sort(x, *, config: SortConfig = DEFAULT_CONFIG, value_mask: Optional[int] = 
         # *complemented* live bits, so pass the complemented mask
         if mask is not None:
             strategy = Strategy.COUNTING
-        elif cfg.device_probe and len(words) <= 2:
+        elif cfg.device_probe and len(words) <= 2 \
+                and _compaction_masks(words, value_mask, dtype, cfg) is None:
+            # (The compaction guard: a 64-bit value_mask with 18-32 live
+            # bits is a *static* promise of the one-operand sorter route —
+            # a measured 1.4x — which must not be pre-empted by the runtime
+            # range probe; the probe only helps unpromised data.)
             from .ops.pallas_kernels import use_tpu_routes
             if use_tpu_routes():
                 # in-graph range probe: `lax.cond` routes narrow-range data

@@ -79,8 +79,10 @@ def use_tpu_routes() -> bool:
     — the Pallas kernels then run in interpret mode, so CI exercises the
     REAL dispatch graph (including the in-graph `lax.cond` sparse-input
     sorter fallbacks) instead of the XLA substitute paths that only exist
-    for non-TPU backends. The env var is read per call, so a test can flip
-    it without reimporting.
+    for non-TPU backends. The env var is read per call (no reimport needed),
+    BUT jitted callers cache traces: after flipping it, call
+    ``jax.clear_caches()`` or previously-traced shapes silently keep the
+    old dispatch graph (the test fixtures do exactly this).
     """
     return (jax.default_backend() == "tpu"
             or os.environ.get("RST_FORCE_TPU_ROUTES", "") == "1")

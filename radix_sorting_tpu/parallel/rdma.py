@@ -166,6 +166,14 @@ def rdma_all_to_all(x: jax.Array, axis_name: str, axis_size: int,
         raise ValueError(
             f"rdma_all_to_all: axis {axis} has length {x.shape[axis]}, "
             f"expected the mesh size {D}")
+    if detect_races and jax.default_backend() == "tpu":
+        # InterpretParams would silently *simulate* the kernel on a real TPU
+        # backend instead of exercising inter-chip DMA — refuse rather than
+        # hand back a result that looks hardware-verified but is not.
+        raise ValueError(
+            "detect_races=True runs the interpret-mode race detector and is "
+            "only meaningful off-TPU; on the TPU backend run the real kernel "
+            "(races are re-checked in CI via tests/test_rdma.py)")
     if D == 1:
         return x
     xm = jnp.moveaxis(x, axis, 0)

@@ -205,6 +205,27 @@ def test_device_probe_u64_hi_const_wide_lo(rng):
     assert np.array_equal(out, np.sort(x))
 
 
+def test_device_probe_defers_to_static_compaction(rng, monkeypatch):
+    # A 64-bit value_mask with 18-32 live bits is a STATIC promise of the
+    # one-operand compacted sorter route (measured 1.4x); device_probe must
+    # not pre-empt it with the runtime range probe. Regression for the
+    # round-3 review finding: poison the probe entry points and assert the
+    # masked sort still succeeds (i.e. took the compaction route).
+    import radix_sorting_tpu as rst
+    from radix_sorting_tpu.ops import counting_engine as ce
+
+    def boom(*a, **k):
+        raise AssertionError("range probe must not pre-empt static compaction")
+
+    monkeypatch.setattr(ce, "sort_words2_range_probe", boom)
+    monkeypatch.setattr(ce, "sort_word_range_probe", boom)
+    cfg = rst.SortConfig(device_probe=True)
+    mask = (0xFFF << 32) | 0xFFF0_0000          # 24 live bits across planes
+    x = rng.integers(0, 1 << 63, size=100_003, dtype=np.uint64) & np.uint64(mask)
+    out = np.asarray(rst.sort(x, config=cfg, value_mask=mask), dtype=np.uint64)
+    assert np.array_equal(out, np.sort(x))
+
+
 def test_device_probe_u64_varying_hi_takes_full_sorter(rng):
     import radix_sorting_tpu as rst
     cfg = rst.SortConfig(device_probe=True)

@@ -77,6 +77,16 @@ def test_rdma_wrong_axis_length_raises():
         rdma_all_to_all(x, "x", 8, axis=0)
 
 
+def test_rdma_detect_races_refused_on_tpu(monkeypatch):
+    # detect_races forces interpret mode, which would silently SIMULATE the
+    # kernel on a real TPU backend — must refuse, not hand back a
+    # fake-hardware result (round-3 review finding)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    x = jnp.zeros((8, 7), jnp.uint32)
+    with pytest.raises(ValueError, match="off-TPU"):
+        rdma_all_to_all(x, "x", 8, axis=0, detect_races=True)
+
+
 @pytest.fixture
 def _race_detect_env(monkeypatch):
     # the balanced path reaches rdma_all_to_all without the detect_races
