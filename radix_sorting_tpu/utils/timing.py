@@ -21,7 +21,7 @@ from typing import Callable
 
 import numpy as np
 
-__all__ = ["steady_state_ms", "counters", "trace"]
+__all__ = ["steady_state_ms", "steady_chain_ms", "counters", "trace"]
 
 
 def steady_state_ms(fn: Callable, x, reps: int = 4) -> float:
@@ -41,6 +41,68 @@ def steady_state_ms(fn: Callable, x, reps: int = 4) -> float:
     t0 = time.perf_counter()
     np.asarray(g(x)[-1:])
     return (time.perf_counter() - t0) * 1e3 / reps
+
+
+def steady_chain_ms(fn: Callable, x, reps: int = 8, repeats: int = 2,
+                    aux=None) -> float:
+    """Canonical scramble-chained steady-state harness (u32-plane ops).
+
+    The ONE methodology every measurement in this repo converged on (the
+    in-script copies it replaces had already started to diverge — round-3
+    review finding):
+
+    * ``reps`` iterations inside ONE jit (`lax.fori_loop`): amortizes the
+      per-dispatch tunnel round trip (~5 ms/call at reps=5 on axon).
+    * iterations chain through a multiplicative scramble with a REAL data
+      dependence on the result (``c * 2654435761 + (r[-1] & 1)``): an odd
+      multiplier is a bijection mod 2^32, so every iteration sees fresh
+      uniform data — honest even for data-dependent engines — and the
+      ``& 1`` term cannot be constant-folded/DCE'd the way ``& 0`` was.
+      Callers measuring *structured* inputs (narrow range, masked) must
+      restore the structure inside ``fn`` (mask + re-offset), as the chain
+      deliberately destroys it.
+    * closes with a tiny device-slice readback (``r[-1:]``): the axon
+      ``block_until_ready`` does not sync, and a full-array transfer would
+      ride the ~15 MB/s tunnel and poison the number.
+    * best of ``repeats`` outer runs: the shared slice jitters between
+      dispatches; min is the honest steady-state.
+
+    ``aux``: optional extra device operand passed as ``fn(c, aux)``. It
+    enters the jit as a RUNTIME argument — a closed-over device array would
+    be embedded as an HLO constant, inviting XLA to fold any reduce over it
+    (exactly the bug this parameter exists to prevent: a constant u64 hi
+    plane folding the range probe's min/max and faking the probe as free).
+    """
+    import jax
+    from jax import lax
+
+    def chain(c, r):
+        # dtype-generic: the odd multiplier truncated to the key width stays
+        # odd, hence a bijection mod 2^bits
+        m = c.dtype.type(2654435761 & np.iinfo(c.dtype).max)
+        return c * m + r[-1].astype(c.dtype) % c.dtype.type(2)
+
+    if aux is None:
+        def outer(a):
+            return lax.fori_loop(0, reps, lambda i, c: chain(c, fn(c)), a)
+
+        g = jax.jit(outer)
+        args = (x,)
+    else:
+        def outer(a, h):
+            return lax.fori_loop(0, reps, lambda i, c: chain(c, fn(c, h)), a)
+
+        g = jax.jit(outer)
+        args = (x, aux)
+
+    np.asarray(g(*args)[-1:])  # compile + warm
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        r = g(*args)
+        np.asarray(r[-1:])
+        best = min(best, (time.perf_counter() - t0) / reps)
+    return best * 1e3
 
 
 def counters(n: int, ms: float, itemsize: int = 4) -> dict:

@@ -11,31 +11,11 @@ tunnel throughput varies ~±30% across runs — see CLAUDE.md).
 """
 
 import json
-import time
 
 import numpy as np
 
 
-def steady_ms(fn, x, reps=8):
-    import jax
-    from jax import lax
-
-    def outer(a):
-        def body(i, c):
-            r = fn(c)
-            return c * c.dtype.type(2654435761 & np.iinfo(c.dtype).max) \
-                + r[-1].astype(c.dtype) % c.dtype.type(2)
-        return lax.fori_loop(0, reps, body, a)
-
-    g = jax.jit(outer)
-    np.asarray(g(x)[-1:])
-    best = 1e9
-    for _ in range(2):
-        t0 = time.perf_counter()
-        r = g(x)
-        np.asarray(r[-1:])
-        best = min(best, (time.perf_counter() - t0) / reps)
-    return best * 1e3
+from radix_sorting_tpu.utils.timing import steady_chain_ms as steady_ms
 
 
 def main():

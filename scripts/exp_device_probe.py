@@ -12,30 +12,10 @@ Prints one JSON line per case.
 """
 
 import json
-import time
 
 import numpy as np
 
-
-def steady_ms(fn, x, reps=8):
-    import jax
-    from jax import lax
-
-    def outer(a):
-        def body(i, c):
-            r = fn(c)
-            return c * np.uint32(2654435761) + (r[-1] & np.uint32(1))
-        return lax.fori_loop(0, reps, body, a)
-
-    g = jax.jit(outer)
-    np.asarray(g(x)[-1:])
-    best = 1e9
-    for _ in range(2):
-        t0 = time.perf_counter()
-        r = g(x)
-        np.asarray(r[-1:])
-        best = min(best, (time.perf_counter() - t0) / reps)
-    return best * 1e3
+from radix_sorting_tpu.utils.timing import steady_chain_ms as steady_ms
 
 
 def main():
@@ -89,21 +69,23 @@ def main():
     # one-operand-sorter branch vs the plain two-operand sorter
     from radix_sorting_tpu.ops.counting_engine import sort_words2_range_probe
 
+    # NOTE: the hi plane rides as the harness's `aux` RUNTIME argument — a
+    # closed-over constant array would let XLA fold the probe's hi-plane
+    # min/max reduce and fake the probe as free.
     hi = jnp.full((n,), jnp.uint32(0x12345678))
-    lo = xj
 
-    def sorter2(c):
-        h, l = lax.sort((hi, c), dimension=0, is_stable=False, num_keys=2)
+    def sorter2(c, h):
+        _, l = lax.sort((h, c), dimension=0, is_stable=False, num_keys=2)
         return l
 
-    def probed2(c):
-        h, l = sort_words2_range_probe(hi, c)
+    def probed2(c, h):
+        _, l = sort_words2_range_probe(h, c)
         return l
 
-    out = np.asarray(jax.jit(probed2)(xj))
+    out = np.asarray(jax.jit(probed2)(xj, hi))
     ok = bool(np.array_equal(out, np.sort(x)))
-    ms_2op = steady_ms(sorter2, xj, reps=6)
-    ms_p2 = steady_ms(probed2, xj, reps=6)
+    ms_2op = steady_ms(sorter2, xj, reps=6, aux=hi)
+    ms_p2 = steady_ms(probed2, xj, reps=6, aux=hi)
     print(json.dumps({"exp": "probe_u64_hi_const_wide_lo", "n": n,
                       "bit_exact": ok,
                       "sorter2op_ms": round(ms_2op, 2),
@@ -114,16 +96,8 @@ def main():
     # varying hi plane: the probe's overhead when 64-bit data is NOT clustered
     hiv = jnp.asarray(rng.integers(0, 1 << 32, size=n, dtype=np.uint32))
 
-    def sorter2v(c):
-        h, l = lax.sort((hiv, c), dimension=0, is_stable=False, num_keys=2)
-        return l
-
-    def probed2v(c):
-        h, l = sort_words2_range_probe(hiv, c)
-        return l
-
-    ms_2v = steady_ms(sorter2v, xj, reps=6)
-    ms_p2v = steady_ms(probed2v, xj, reps=6)
+    ms_2v = steady_ms(sorter2, xj, reps=6, aux=hiv)
+    ms_p2v = steady_ms(probed2, xj, reps=6, aux=hiv)
     print(json.dumps({"exp": "probe_u64_varying_hi_overhead", "n": n,
                       "sorter2op_ms": round(ms_2v, 2),
                       "probed_ms": round(ms_p2v, 2),

@@ -124,6 +124,20 @@ def test_steady_state_ms_smoke():
     assert c["KeyRate"] > 0 and c["bytes_per_second"] == c["KeyRate"] * 4
 
 
+def test_steady_chain_ms_smoke(rng):
+    # the canonical scramble-chain harness: plain, aux-operand, and u16 forms
+    from jax import lax
+    from radix_sorting_tpu.utils import timing
+    x = jnp.asarray(rng.integers(0, 1 << 32, 4096, dtype=np.uint32))
+    assert timing.steady_chain_ms(lambda c: lax.sort(c), x, reps=2) > 0
+    hi = jnp.zeros_like(x)
+    ms = timing.steady_chain_ms(lambda c, h: lax.sort((h, c), num_keys=2)[1],
+                                x, reps=2, aux=hi)
+    assert ms > 0
+    x16 = jnp.asarray(rng.integers(0, 1 << 16, 4096, dtype=np.uint16))
+    assert timing.steady_chain_ms(lambda c: lax.sort(c), x16, reps=2) > 0
+
+
 def test_scan_helpers(rng):
     from radix_sorting_tpu.ops.scan import exclusive_scan, scatter_bases
     from radix_sorting_tpu.ops.histogram import chunked_digit_histogram
