@@ -72,14 +72,12 @@ def _launch_processes(args, argv) -> int:
     processes on localhost (gloo CPU collectives) — the same worker invocation
     a pod launcher (srun/gcloud) issues with its own coordinator address.
     Validates the harness in true multi-process mode without hardware."""
-    import os
-    import socket
     import subprocess
     import sys
 
-    with socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        port = s.getsockname()[1]
+    from radix_sorting_tpu.utils.mpharness import free_port, worker_env
+
+    port = free_port()
     base, skip = [], False
     for a in argv:
         if skip:
@@ -91,10 +89,7 @@ def _launch_processes(args, argv) -> int:
             pass
         else:
             base.append(a)
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = env.get("JAX_PLATFORMS", "cpu")
-    env["PALLAS_AXON_POOL_IPS"] = ""
-    env.pop("XLA_FLAGS", None)
+    env = worker_env()
     procs = []
     for pid in range(args.processes):
         cmd = [sys.executable, __file__, *base,
@@ -144,14 +139,10 @@ def main() -> int:
         import sys
         return _launch_processes(args, sys.argv[1:])
 
-    import os
     if args.process_id is not None:
         # multi-controller worker: device count must be set before jax loads
-        flags = os.environ.get("XLA_FLAGS", "")
-        if "xla_force_host_platform_device_count" not in flags:
-            os.environ["XLA_FLAGS"] = (
-                flags + f" --xla_force_host_platform_device_count="
-                        f"{args.local_devices}").strip()
+        from radix_sorting_tpu.utils.mpharness import ensure_host_device_count
+        ensure_host_device_count(args.local_devices)
 
     from radix_sorting_tpu.utils.compile_cache import enable_compilation_cache
     enable_compilation_cache()

@@ -23,18 +23,12 @@ import sys
 
 def main() -> int:
     pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
     local_dev = int(os.environ.get("RST_MP_LOCAL_DEVICES", "4"))
-    flags = os.environ.get("XLA_FLAGS", "")
-    if "xla_force_host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
-            flags + f" --xla_force_host_platform_device_count={local_dev}"
-        ).strip()
+
+    from radix_sorting_tpu.utils.mpharness import init_worker
+    init_worker(pid, nproc, f"127.0.0.1:{port}", local_devices=local_dev)
 
     import jax
-
-    jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
-                               num_processes=nproc, process_id=pid)
     import jax.numpy as jnp
     import numpy as np
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

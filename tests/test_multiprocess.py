@@ -10,11 +10,12 @@ launcher; ~1-2 min) so the default suite stays fast:
 """
 
 import os
-import socket
 import subprocess
 import sys
 
 import pytest
+
+from radix_sorting_tpu.utils.mpharness import free_port, worker_env
 
 pytestmark = pytest.mark.skipif(
     os.environ.get("RST_MULTIPROC") != "1",
@@ -24,20 +25,12 @@ pytestmark = pytest.mark.skipif(
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _free_port() -> int:
-    with socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        return s.getsockname()[1]
-
-
 def _launch(nproc: int, local_devices: int, timeout: int = 600):
-    port = _free_port()
-    env = dict(os.environ)
-    env.pop("XLA_FLAGS", None)          # worker sets its own device count
-    env["JAX_PLATFORMS"] = "cpu"
-    env["PALLAS_AXON_POOL_IPS"] = ""    # no TPU tunnel in workers
-    env["RST_MP_LOCAL_DEVICES"] = str(local_devices)
-    env["PYTHONPATH"] = _REPO + os.pathsep + env.get("PYTHONPATH", "")
+    port = free_port()
+    env = worker_env(local_devices=local_devices, extra={
+        "JAX_PLATFORMS": "cpu",         # conftest may have set something else
+        "PYTHONPATH": _REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
+    })
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.join(_REPO, "scripts", "mp_worker.py"),
