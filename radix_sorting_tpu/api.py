@@ -244,6 +244,11 @@ def sort(x, *, config: SortConfig = DEFAULT_CONFIG, value_mask: Optional[int] = 
         _validate_value_mask(x, dtype, value_mask)
 
     strategy = cfg.strategy
+    # Computed once, consulted twice: the device-probe guard below and the
+    # HW_SORT operand selection must see the SAME answer — the guard's
+    # correctness argument is "whenever the probe is skipped, compaction
+    # definitely engages".
+    cmasks = _compaction_masks(words, value_mask, dtype, cfg)
     if strategy == Strategy.AUTO:
         mask = _static_live_mask(words, value_mask, dtype, cfg)
         if mask is None and cfg.dynamic_probe \
@@ -264,8 +269,7 @@ def sort(x, *, config: SortConfig = DEFAULT_CONFIG, value_mask: Optional[int] = 
         # *complemented* live bits, so pass the complemented mask
         if mask is not None:
             strategy = Strategy.COUNTING
-        elif cfg.device_probe and len(words) <= 2 \
-                and _compaction_masks(words, value_mask, dtype, cfg) is None:
+        elif cfg.device_probe and len(words) <= 2 and cmasks is None:
             # (The compaction guard: a 64-bit value_mask with 18-32 live
             # bits is a *static* promise of the one-operand sorter route —
             # a measured 1.4x — which must not be pre-empted by the runtime
@@ -315,7 +319,6 @@ def sort(x, *, config: SortConfig = DEFAULT_CONFIG, value_mask: Optional[int] = 
     # HW_SORT; keys-only, so the unstable fast path is exact (see hw_engine).
     # Masked 64-bit keys past the counting budget still benefit from plane
     # compaction: one merged sort operand instead of two planes.
-    cmasks = _compaction_masks(words, value_mask, dtype, cfg)
     operands = words if cmasks is None \
         else (probes.compact_word_planes(words, cmasks),)
     if cfg.detect_presorted:

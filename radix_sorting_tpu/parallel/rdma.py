@@ -68,9 +68,18 @@ def _interpret_default():
     ``detect_races`` parameter (e.g. the balanced-sort integration) — the
     suite's MEMCHECK-style switch.
     """
-    if jax.default_backend() == "tpu":
-        return False
     import os
+    if jax.default_backend() == "tpu":
+        if os.environ.get("RST_RDMA_DETECT_RACES") == "1":
+            # refuse-rather-than-silently-differ, like detect_races=True on
+            # TPU: the operator asked for the race detector; on the real
+            # backend it cannot run, and pretending otherwise is the
+            # "looks verified but is not" failure mode.
+            raise ValueError(
+                "RST_RDMA_DETECT_RACES=1 has no effect on the TPU backend "
+                "(the interpret-mode race detector is off-TPU only); unset "
+                "it for on-chip runs")
+        return False
     detect = os.environ.get("RST_RDMA_DETECT_RACES") == "1"
     return pltpu.InterpretParams(detect_races=detect)
 
@@ -174,6 +183,19 @@ def rdma_all_to_all(x: jax.Array, axis_name: str, axis_size: int,
             "detect_races=True runs the interpret-mode race detector and is "
             "only meaningful off-TPU; on the TPU backend run the real kernel "
             "(races are re-checked in CI via tests/test_rdma.py)")
+    if jax.default_backend() != "tpu" and jax.process_count() > 1:
+        # The interpret machinery simulates semaphores per-process; a
+        # multi-controller mesh would deadlock in semaphore_wait forever
+        # (reproduced: bench_scaling --processes ... --methods shuffle-rdma
+        # hung with both workers spinning in the simulated barrier). Refuse
+        # with the fix in hand instead of hanging.
+        raise ValueError(
+            "exchange='rdma' cannot run under multi-process CPU simulation: "
+            "the interpret-mode semaphores do not cross process boundaries "
+            "(the kernel would deadlock in the entry barrier). Use "
+            "exchange='xla' for multi-controller simulation; RDMA runs for "
+            "real on a TPU pod and single-process virtual meshes simulate "
+            "it faithfully.")
     if D == 1:
         return x
     xm = jnp.moveaxis(x, axis, 0)

@@ -133,13 +133,26 @@ def _shard_body(planes, axis_name, num_devices, splitter_bits, capacity_per_peer
     # no per-peer capacity short of n_local suffices. Classic sample-sort
     # pre-balancing; costs one extra pass of exchange traffic.
     if deal:
-        planes = tuple(
-            lax.all_to_all(
-                p.reshape(num_devices, n_local // num_devices),
-                axis_name, split_axis=0, concat_axis=0, tiled=True,
-            ).reshape(-1)
-            for p in planes
-        )
+        if exchange == "rdma":
+            # the deal ships the same bulk volume as the main exchange, so
+            # under the RDMA backend it must ride the RDMA kernel too — an
+            # XLA deal would make the pod-day XLA-vs-RDMA comparison a
+            # ~50/50 hybrid and dilute the measured delta. One stacked call
+            # (all planes) instead of P kernel launches.
+            from .rdma import rdma_all_to_all
+            dealt = rdma_all_to_all(
+                jnp.stack([p.reshape(num_devices, n_local // num_devices)
+                           for p in planes]),           # (P, D, n_local/D)
+                axis_name, num_devices, axis=1)
+            planes = tuple(dealt[i].reshape(-1) for i in range(len(planes)))
+        else:
+            planes = tuple(
+                lax.all_to_all(
+                    p.reshape(num_devices, n_local // num_devices),
+                    axis_name, split_axis=0, concat_axis=0, tiled=True,
+                ).reshape(-1)
+                for p in planes
+            )
         w = planes[0]
 
     # 1. local sort (hardware sort unit). Keys-only: unstable is exact.
@@ -187,9 +200,9 @@ def _shard_body(planes, axis_name, num_devices, splitter_bits, capacity_per_peer
         for p in sorted_planes
     ])                                                   # (planes, D, C)
     # The bulk data exchange optionally rides the explicit-RDMA ring kernel
-    # (`.rdma`), like the balanced backend; the tiny counts collective (and
-    # the fixed pre-balancing deal above) stay on the XLA collective — a
-    # (D,)-int32 exchange has nothing to overlap.
+    # (`.rdma`), like the balanced backend (and like the bulk deal above);
+    # only the tiny counts collective stays on XLA — a (D,)-int32 exchange
+    # has nothing to overlap.
     if exchange == "rdma":
         from .rdma import rdma_all_to_all
         recv = rdma_all_to_all(send, axis_name, num_devices, axis=1)

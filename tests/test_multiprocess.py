@@ -28,7 +28,6 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def _launch(nproc: int, local_devices: int, timeout: int = 600):
     port = free_port()
     env = worker_env(local_devices=local_devices, extra={
-        "JAX_PLATFORMS": "cpu",         # conftest may have set something else
         "PYTHONPATH": _REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
     })
     procs = [

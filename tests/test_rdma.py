@@ -77,6 +77,16 @@ def test_rdma_wrong_axis_length_raises():
         rdma_all_to_all(x, "x", 8, axis=0)
 
 
+def test_rdma_refused_in_multiprocess_simulation(monkeypatch):
+    # interpret-mode semaphores are per-process: a multi-controller CPU mesh
+    # would deadlock in the entry barrier (reproduced via bench_scaling
+    # --processes --methods shuffle-rdma) — must refuse, not hang
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    x = jnp.zeros((8, 7), jnp.uint32)
+    with pytest.raises(ValueError, match="multi-process"):
+        rdma_all_to_all(x, "x", 8, axis=0)
+
+
 def test_rdma_detect_races_refused_on_tpu(monkeypatch):
     # detect_races forces interpret mode, which would silently SIMULATE the
     # kernel on a real TPU backend — must refuse, not hand back a
