@@ -84,7 +84,7 @@ def main(argv=None) -> int:
         # `my_allocate` mmap path + provenance print, `radix_experiment.cpp:53-76`);
         # numpy read fallback when no toolchain is present
         from radix_sorting_tpu.runtime import native
-        keyfile.load_or_create(0)  # ensure the key file exists
+        keyfile.load_or_create(words_needed)  # ensure the file exists AND covers the request
         raw = native.read_keyfile(keyfile.default_keyfile(), words_needed)
         print("# allocation: native mmap read" if native.available()
               else "# allocation: numpy read (native runtime unavailable)")
@@ -116,21 +116,41 @@ def main(argv=None) -> int:
     # allocation and file IO sit outside the clock. The JAX analog: the first
     # call pays trace+compile (and H2D for host inputs), so it is reported
     # separately as `first_call_ms`, and the comparable `ms` is a warm second
-    # call on the SAME input, closed by host readback (the monotonic-clock
-    # timed region equivalent).
+    # call on the SAME input. The warm clock closes with a TINY on-device
+    # slice readback: a full-array np.asarray would ship the result through
+    # the ~15 MB/s tunnel inside the timed region and poison the number
+    # (~10 s for 160 MB around a ~74 ms sort); the full fetch for
+    # verification/head/tail rides the untimed first call instead (both
+    # calls run the identical program on the identical input).
     t0 = time.perf_counter()
     out = rst.sort(x, value_mask=mask)
     out_np = np.asarray(out)
     first_ms = (time.perf_counter() - t0) * 1e3
 
     t0 = time.perf_counter()
-    out = rst.sort(x, value_mask=mask)
-    out_np = np.asarray(out)
+    out2 = rst.sort(x, value_mask=mask)
+    if isinstance(out2, np.ndarray):
+        pass              # 64-bit numpy path: already host-materialized
+    else:
+        np.asarray(jnp.ravel(out2)[-1:])
     dt_s = time.perf_counter() - t0
+
+    # The f16 multiset oracle must compare what the device can REPRESENT:
+    # any device f16 bitcast/compute canonicalizes NaN payloads to 0x7E00
+    # (measured backend fact; bf16/f32/f64 payloads survive), so the raw
+    # host bytes would spuriously fail verification on TPU for a correct
+    # sort. Pass the expectation through one device bitcast, exactly like
+    # the KDF test oracle (tests/test_kdf.py).
+    x_expect = x_np
+    if tname == "f16":
+        from jax import lax
+        x_expect = np.asarray(
+            lax.bitcast_convert_type(jnp.asarray(x_np), jnp.uint16)
+        ).view(np.float16)
 
     ok = verify.is_sorted(out_np if itemsize != 8 else out_np.astype(x_np.dtype))
     ok = ok and verify.same_multiset(out_np.view(x_np.dtype) if out_np.dtype != x_np.dtype
-                                     else out_np, x_np)
+                                     else out_np, x_expect)
 
     head = ", ".join(str(v) for v in out_np[:4])
     tail = ", ".join(str(v) for v in out_np[-4:])

@@ -397,9 +397,17 @@ def top_k_batched(x, k: int, *, axis: int = -1, largest: bool = True,
     ordered best-first; ties resolve to the lower index per slice.
     """
     from .api import (_as_words, _check_index_width, _decode, _moveaxis_last,
-                      _restore_axis)
+                      _restore_axis, _single_batch)
 
     xm, axis = _moveaxis_last(x, axis)
+    if _single_batch(xm):
+        # (1, n) dimension-1 sorts lower ~6x slower than the identical 1-D
+        # sort (see api._single_batch); collapse and route through top_k
+        vals, idx = top_k(xm.reshape(-1), k, largest=largest,
+                          index_dtype=index_dtype)
+        shape = xm.shape[:-1] + (k,)
+        return (_restore_axis(vals.reshape(shape), axis),
+                _restore_axis(idx.reshape(shape), axis))
     words, dtype = _as_words(xm, largest, allow_nd=True)
     dim = words[0].ndim - 1
     n = int(words[0].shape[dim])

@@ -36,7 +36,7 @@ import numpy as np
 from jax import lax
 
 from . import probes
-from .histogram import extract_digit
+from .histogram import chunked_digit_histogram, extract_digit
 from .scan import scatter_bases
 
 __all__ = ["sort_words_lsd"]
@@ -79,11 +79,7 @@ def _sort_padded(
         words = ops[:nwords]
         d = extract_digit(words, p, radix_bits)
         dd = d.reshape(num_chunks, chunk)
-        binv = jnp.arange(bins, dtype=jnp.uint32)
-        chunk_hist = jnp.sum(
-            (dd[:, :, None] == binv[None, None, :]).astype(jnp.int32),
-            axis=1, dtype=jnp.int32,
-        )
+        chunk_hist = chunked_digit_histogram(d, bins, num_chunks)
         bases = scatter_bases(chunk_hist)                    # (chunks, bins)
         # Sequential-with-batching map keeps the transient one-hot bounded at
         # batch * chunk * bins int32 (a vmap would materialize n * bins).

@@ -253,26 +253,12 @@ def _regen_call(cum, n, bins):
 # (PDEP + dead-bit restore in-kernel).
 
 
-def _pext_rows(row, mask: int):
-    """In-kernel vectorized PEXT of a (1, T) u32 row under a static mask."""
-    out = jnp.zeros_like(row)
-    pos = 0
-    for bit in range(32):
-        if mask & (1 << bit):
-            out = out | (((row >> np.uint32(bit)) & np.uint32(1)) << np.uint32(pos))
-            pos += 1
-    return out
-
-
-def _pdep_rows(v, mask: int):
-    """In-kernel vectorized PDEP (inverse of :func:`_pext_rows`)."""
-    out = jnp.zeros_like(v)
-    pos = 0
-    for bit in range(32):
-        if mask & (1 << bit):
-            out = out | (((v >> np.uint32(pos)) & np.uint32(1)) << np.uint32(bit))
-            pos += 1
-    return out
+# In-kernel vectorized PEXT/PDEP: the probes helpers are shape-agnostic
+# elementwise shift networks over a STATIC mask, valid inside Pallas kernels
+# as-is — one implementation, aliased for kernel use (a local copy here had
+# started to diverge in name only; round-3 review).
+from .probes import compact_live_bits as _pext_rows  # noqa: E402
+from .probes import expand_live_bits as _pdep_rows  # noqa: E402
 
 
 def _onehot_accum(row, in_range, o_ref, H, L, lo_bits):

@@ -70,9 +70,17 @@ def read_keyfile(path: str | os.PathLike, count: int | None = None, dtype=np.uin
 
 def load_or_create(count: int = DEFAULT_COUNT, path: str | os.PathLike | None = None,
                    seed: int = 0x5EED) -> np.ndarray:
-    """Return the benchmark keys, creating and caching the key file if needed."""
+    """Return the benchmark keys, creating and caching the key file if needed.
+
+    The file is grown to cover ``count`` words when a larger request arrives
+    (e.g. the CLI reading 40M u64 = 80M u32 words, or 160M-class wide-tier
+    runs). PCG64 integer draws are prefix-stable — ``generate_keys(2n)[:n]
+    == generate_keys(n)`` — so growth keeps the first 40M words (and every
+    artifact derived from them: parity cases, bench numbers) bit-identical.
+    """
     p = Path(path) if path is not None else default_keyfile()
-    want_bytes = DEFAULT_COUNT * 4
-    if not p.exists() or p.stat().st_size < want_bytes:
-        write_keyfile(p, generate_keys(DEFAULT_COUNT, seed))
+    want = max(int(count), DEFAULT_COUNT)
+    have = p.stat().st_size // 4 if p.exists() else 0
+    if have < want:
+        write_keyfile(p, generate_keys(want, seed))
     return read_keyfile(p, count)

@@ -121,8 +121,10 @@ def test_bitmap_presence_route(rng):
     assert np.array_equal(np.asarray(values)[: expect.size], expect)
 
 
-def test_lsd_multi_digit_histogram_route(rng):
-    # Strategy.LSD pulls multi_digit_histogram -> Pallas fused kernel
+def test_lsd_engine_forced_route(rng):
+    # Strategy.LSD end-to-end under forced TPU routes (per-pass chunked
+    # histograms + stable scatter; the fused multi_digit_histogram op is a
+    # standalone listing-parity op, NOT on this path — see histogram.py)
     import radix_sorting_tpu as rst
     x = rng.integers(0, 1 << 32, size=70_009, dtype=np.uint32)
     cfg = rst.SortConfig(strategy=rst.Strategy.LSD)

@@ -115,6 +115,21 @@ def test_keyfile_roundtrip(tmp_path, rng):
     assert keyfile.default_keyfile().name == "40M_32bit_keys.dat"
 
 
+def test_keyfile_grows_to_request(tmp_path, monkeypatch):
+    # A request past the default 40M words must GROW the file (CLI reading
+    # 40M u64 = 80M words; 160M wide-tier runs), and growth must keep the
+    # existing prefix bit-identical (PCG64 draws are prefix-stable), so
+    # parity/bench artifacts derived from the first 40M words are unchanged.
+    from radix_sorting_tpu.utils import keyfile
+    monkeypatch.setattr(keyfile, "DEFAULT_COUNT", 1_000)
+    p = tmp_path / "grow.dat"
+    small = keyfile.load_or_create(500, path=p)
+    assert p.stat().st_size == 1_000 * 4 and small.shape[0] == 500
+    big = keyfile.load_or_create(3_000, path=p)
+    assert p.stat().st_size == 3_000 * 4 and big.shape[0] == 3_000
+    assert np.array_equal(big[:500], small)   # prefix preserved across growth
+
+
 def test_steady_state_ms_smoke():
     from radix_sorting_tpu.utils import timing
     x = jnp.arange(4096, dtype=jnp.uint32)
