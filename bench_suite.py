@@ -37,8 +37,16 @@ def _sizes(quick: bool):
     return sizes[-3:] if quick else sizes
 
 
-def _steady_ms(fn, x, reps):
-    """Steady-state per-op time; loops inside one jit, closes with readback."""
+def _steady_ms(fn, x, reps, repeats=2):
+    """Steady-state per-op time; loops inside one jit, closes with readback.
+
+    Deliberately NOT `utils.timing.steady_chain_ms`: the suite's cases carry
+    static domain promises (masked keys, u16, batched rows) that the
+    canonical scramble chain would destroy between iterations; this chain
+    flips only bit 0 of the input by an output bit, preserving every case's
+    distribution/mask contract. Best-of-``repeats`` matches the canonical
+    harness (the shared slice jitters ±30% between runs).
+    """
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -58,9 +66,12 @@ def _steady_ms(fn, x, reps):
 
     g = jax.jit(outer)
     np.asarray(g(x)[-1:])  # compile + warm
-    t0 = time.perf_counter()
-    np.asarray(g(x)[-1:])
-    return (time.perf_counter() - t0) * 1e3 / reps
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        np.asarray(g(x)[-1:])
+        best = min(best, (time.perf_counter() - t0) / reps)
+    return best * 1e3
 
 
 def main() -> int:
@@ -168,12 +179,13 @@ def main() -> int:
                 continue
             n_eff = int(np.prod(x.shape))
             ms = _steady_ms(fn, x, reps)
+            itemsize = x.dtype.itemsize        # u16 case is 2 bytes, not 4
             rows.append({
                 "case": name,
                 "n": n_eff,
                 "ms": round(ms, 4),
                 "KeyRate": round(n_eff / (ms / 1e3), 0),
-                "bytes_per_second": round(n_eff * 4 / (ms / 1e3), 0),
+                "bytes_per_second": round(n_eff * itemsize / (ms / 1e3), 0),
             })
             print(json.dumps(rows[-1]), flush=True)
 

@@ -78,7 +78,9 @@ def main(argv=None) -> int:
     # dataset: the cached 40M key file, reinterpreted at the requested type
     # (the reference reads the same bytes as any type, `radix_experiment.cpp:78`)
     dt = _TYPES[tname]
-    words_needed = count * (np.dtype(dt).itemsize if dt != "bfloat16" else 2) // 4 + 1
+    # ceil-divide: the +1 blunt form over-requested one word at 40M u32 and
+    # triggered a pointless full keyfile rewrite under the growth check
+    words_needed = -(-count * (np.dtype(dt).itemsize if dt != "bfloat16" else 2) // 4)
     if use_mmap:
         # real mmap-backed host read via the native runtime (the reference's
         # `my_allocate` mmap path + provenance print, `radix_experiment.cpp:53-76`);

@@ -60,17 +60,21 @@ _COLLECTIVE_ID = 11
 _LOGICAL = pltpu.DeviceIdType.LOGICAL
 
 
-def _interpret_default():
-    """Run the real kernel on TPU; simulate (remote DMA + semaphores) elsewhere.
+def _interpret_kind() -> str:
+    """Resolve the execution mode OUTSIDE the jit cache.
 
-    ``RST_RDMA_DETECT_RACES=1`` turns on the vector-clock race detector for
-    simulated runs reached through call sites that don't expose the
-    ``detect_races`` parameter (e.g. the balanced-sort integration) — the
-    suite's MEMCHECK-style switch.
+    Returns one of ``"tpu"`` (real kernel), ``"interp"`` (simulated), or
+    ``"races"`` (simulated + vector-clock race detector). Resolved per CALL
+    and passed as a static argument, so flipping ``RST_RDMA_DETECT_RACES``
+    between calls re-traces instead of silently reusing a detector-off
+    executable (the env var is the MEMCHECK-style switch for call sites
+    that don't expose the ``detect_races`` parameter, e.g. the balanced-sort
+    integration).
     """
     import os
+    detect = os.environ.get("RST_RDMA_DETECT_RACES") == "1"
     if jax.default_backend() == "tpu":
-        if os.environ.get("RST_RDMA_DETECT_RACES") == "1":
+        if detect:
             # refuse-rather-than-silently-differ, like detect_races=True on
             # TPU: the operator asked for the race detector; on the real
             # backend it cannot run, and pretending otherwise is the
@@ -79,9 +83,8 @@ def _interpret_default():
                 "RST_RDMA_DETECT_RACES=1 has no effect on the TPU backend "
                 "(the interpret-mode race detector is off-TPU only); unset "
                 "it for on-chip runs")
-        return False
-    detect = os.environ.get("RST_RDMA_DETECT_RACES") == "1"
-    return pltpu.InterpretParams(detect_races=detect)
+        return "tpu"
+    return "races" if detect else "interp"
 
 
 def _exchange_kernel(axis_name: str, D: int, x_ref, out_ref,
@@ -142,8 +145,9 @@ def _exchange_kernel(axis_name: str, D: int, x_ref, out_ref,
                                              "interpret_kind"))
 def _exchange(xf, axis_name: str, axis_size: int, interpret_kind: str):
     D = axis_size
-    interpret = (_interpret_default() if interpret_kind == "auto"
-                 else pltpu.InterpretParams(detect_races=True))
+    interpret = (False if interpret_kind == "tpu"
+                 else pltpu.InterpretParams(
+                     detect_races=interpret_kind == "races"))
     return pl.pallas_call(
         functools.partial(_exchange_kernel, axis_name, D),
         out_shape=jax.ShapeDtypeStruct(xf.shape, xf.dtype),
@@ -196,6 +200,19 @@ def rdma_all_to_all(x: jax.Array, axis_name: str, axis_size: int,
             "exchange='xla' for multi-controller simulation; RDMA runs for "
             "real on a TPU pod and single-process virtual meshes simulate "
             "it faithfully.")
+    am = jax.sharding.get_abstract_mesh()
+    if am is not None and any(
+            s > 1 for name, s in zip(am.axis_names, am.axis_sizes)
+            if name != axis_name):
+        # The kernel addresses peers by the axis index as a flat LOGICAL
+        # device id, which only matches mesh positions on a mesh where every
+        # OTHER axis is trivial; on a genuinely multi-axis mesh the barrier
+        # signals/remote writes would target the wrong devices (or hang).
+        raise ValueError(
+            f"rdma_all_to_all addresses peers by their '{axis_name}' index "
+            "as a flat logical device id, which is only correct on a 1-D "
+            f"mesh; the surrounding mesh {dict(zip(am.axis_names, am.axis_sizes))} "
+            "has other non-trivial axes. Use exchange='xla' there.")
     if D == 1:
         return x
     xm = jnp.moveaxis(x, axis, 0)
@@ -206,7 +223,7 @@ def rdma_all_to_all(x: jax.Array, axis_name: str, axis_size: int,
     if pad:
         xf = jnp.pad(xf, ((0, 0), (0, pad)))
     out = _exchange(xf, axis_name, D,
-                    "races" if detect_races else "auto")
+                    "races" if detect_races else _interpret_kind())
     if pad:
         out = out[:, :m]
     return jnp.moveaxis(out.reshape((D,) + rest), 0, axis)

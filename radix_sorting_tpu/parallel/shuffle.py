@@ -48,6 +48,8 @@ import numpy as np
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
+from ..ops.histogram import digit_histogram
+
 __all__ = [
     "distributed_sort",
     "distributed_argsort",
@@ -66,6 +68,12 @@ def make_sort_mesh(num_devices: Optional[int] = None, axis_name: str = "shards")
     """1-D mesh over the first ``num_devices`` devices (default: all)."""
     devs = jax.devices()
     if num_devices is not None:
+        if num_devices > len(devs):
+            # a silent devs[:n] clip would report results for a smaller mesh
+            # than the caller believes it measured
+            raise ValueError(
+                f"make_sort_mesh: requested {num_devices} devices, only "
+                f"{len(devs)} available")
         devs = devs[:num_devices]
     return jax.make_mesh((len(devs),), (axis_name,), devices=devs)
 
@@ -168,10 +176,9 @@ def _shard_body(planes, axis_name, num_devices, splitter_bits, capacity_per_peer
     # 0; exact global splitter histogram via psum. Sentinel pads saturate to
     # the top bucket and therefore route to device D-1 like any maximal key.
     b = ((ws << lshift) >> np.uint32(32 - splitter_bits)).astype(jnp.uint32)
-    binv = jnp.arange(nbuckets, dtype=jnp.uint32)
-    local_hist = jnp.sum(
-        (b[:, None] == binv[None, :]).astype(jnp.int32), axis=0, dtype=jnp.int32
-    )
+    # blocked one-hot (ops.histogram): bounds the transient at block*bins
+    # int32 instead of an n_local x nbuckets broadcast in one expression
+    local_hist = digit_histogram(b, nbuckets)
     global_hist = lax.psum(local_hist, axis_name)
 
     # 3. skew-aware bucket -> device assignment (identical on all devices)
@@ -180,10 +187,7 @@ def _shard_body(planes, axis_name, num_devices, splitter_bits, capacity_per_peer
     # destination device per local key; non-decreasing because ws is sorted
     dest = jnp.take(dev_of_bucket, b.astype(jnp.int32))
     # outgoing run boundaries per destination: count keys with dest < d
-    dround = jnp.arange(num_devices, dtype=jnp.int32)
-    out_counts = jnp.sum(
-        (dest[:, None] == dround[None, :]).astype(jnp.int32), axis=0, dtype=jnp.int32
-    )
+    out_counts = digit_histogram(dest.astype(jnp.uint32), num_devices)
     out_starts = jnp.cumsum(out_counts) - out_counts
 
     # 4. pack runs into (planes, D, C) slots, sentinel-padded, and exchange

@@ -37,7 +37,10 @@ _tried = False
 
 def _kind_of(dtype) -> int:
     d = np.dtype(dtype)
-    return {"u": 0, "i": 1, "f": 2}[d.kind]
+    kinds = {"u": 0, "i": 1, "f": 2}
+    if d.kind not in kinds:
+        raise ValueError(f"unsupported dtype for the native oracle: {d}")
+    return kinds[d.kind]
 
 
 def _build() -> bool:

@@ -25,7 +25,13 @@ __all__ = ["steady_state_ms", "steady_chain_ms", "counters", "trace"]
 
 
 def steady_state_ms(fn: Callable, x, reps: int = 4) -> float:
-    """Per-op steady-state milliseconds of ``fn(x) -> array``."""
+    """Per-op steady-state milliseconds of ``fn(x) -> array``.
+
+    Lightweight generic helper (any output shape/dtype). Its xor chain feeds
+    nearly identical input every iteration — for engines with data-dependent
+    paths (presorted guard, device probe) use :func:`steady_chain_ms`, whose
+    scramble keeps each iteration's input fresh.
+    """
     import jax
     import jax.numpy as jnp
     from jax import lax

@@ -77,6 +77,21 @@ def test_rdma_wrong_axis_length_raises():
         rdma_all_to_all(x, "x", 8, axis=0)
 
 
+def test_rdma_refused_on_multi_axis_mesh():
+    # peers are addressed by axis index as a FLAT logical device id — only
+    # correct when every other mesh axis is trivial; a (2, 4) mesh must be
+    # refused, not silently misroute barrier signals/remote writes
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    mesh = Mesh(np.array(devs[:8]).reshape(2, 4), ("dp", "x"))
+    f = jax.shard_map(
+        lambda s: rdma_all_to_all(s, "x", 4, axis=0),
+        mesh=mesh, in_specs=P("x"), out_specs=P("x"), check_vma=False)
+    with pytest.raises(ValueError, match="1-D mesh"):
+        jax.jit(f)(jnp.zeros((16, 8), jnp.uint32))
+
+
 def test_rdma_refused_in_multiprocess_simulation(monkeypatch):
     # interpret-mode semaphores are per-process: a multi-controller CPU mesh
     # would deadlock in the entry barrier (reproduced via bench_scaling
