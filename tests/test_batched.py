@@ -146,7 +146,12 @@ def test_top_k_smallest_floats(rng):
 def test_top_k_u64(rng):
     x = rng.integers(0, 1 << 64, size=1_000, dtype=np.uint64)
     v, i = top_k(x, 13)
-    order = np.argsort(x, kind="stable")[::-1][:13]
+    # exact stable-DESCENDING oracle: sort by complemented key (order
+    # reversal for unsigned), stable ties -> lower index first. (A reversed
+    # stable-ascending argsort reverses tie order and could not check the
+    # index plane — review finding; the two-plane index plane was untested.)
+    order = np.argsort(~x, kind="stable")[:13]
+    assert np.array_equal(np.asarray(i), order.astype(np.uint32))
     assert np.array_equal(np.asarray(v, dtype=np.uint64), x[order])
 
 

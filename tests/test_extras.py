@@ -155,13 +155,14 @@ def test_top_k_batched(rng):
     for c in range(4):
         order = np.argsort(xf[:, c], kind="stable")[:3]  # nan sorts last
         assert np.array_equal(np.asarray(vals)[:, c], xf[order, c])
-    # 64-bit two-plane keys
+    # 64-bit two-plane keys: exact stable-descending oracle via the
+    # complemented key (checks the index plane too — review finding)
     x64 = rng.integers(0, 1 << 64, size=(4, 64), dtype=np.uint64)
     vals, idx = rst.top_k_batched(x64, 5)
     for r in range(4):
-        order = np.argsort(-x64[r].astype(np.float64))  # approx; check values
-        expect = np.sort(x64[r])[::-1][:5]
-        assert np.array_equal(np.asarray(vals, dtype=np.uint64)[r], expect)
+        order = np.argsort(~x64[r], kind="stable")[:5]
+        assert np.array_equal(np.asarray(vals, dtype=np.uint64)[r], x64[r][order])
+        assert np.array_equal(np.asarray(idx)[r], order.astype(np.uint32))
     with pytest.raises(ValueError):
         rst.top_k_batched(jnp.asarray(x), 0)
 

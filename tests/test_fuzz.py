@@ -20,26 +20,21 @@ _SIZES = [2, 3, 257, 5000]
 def _gen(rng, dtype, n):
     if np.issubdtype(dtype, np.floating):
         x = (rng.standard_normal(n) * 100).astype(dtype)
-        # sprinkle specials like the reference float fixture (`radix_tests.cpp:157`)
+        # sprinkle specials like the reference float fixture
+        # (`radix_tests.cpp:157`), NaN included; a per-slot random pick (a
+        # previous form broadcast ONE special to every slot and omitted NaN
+        # entirely — review finding)
         if n >= 16:
-            x[:: max(n // 8, 1)] = np.array(
-                [0.0, -0.0, np.inf, -np.inf], dtype=dtype)[rng.integers(0, 4)]
+            slots = x[:: max(n // 8, 1)]
+            pool = np.array([0.0, -0.0, np.inf, -np.inf, np.nan], dtype=dtype)
+            x[:: max(n // 8, 1)] = pool[rng.integers(0, len(pool),
+                                                     size=slots.shape[0])]
         return x
     info = np.iinfo(dtype)
     return rng.integers(info.min, int(info.max) + 1, size=n).astype(dtype)
 
 
-def _key(x):
-    """Total-order sort key matching the KDF order (NaN sorts by sign+payload)."""
-    b = x.view(f"u{x.dtype.itemsize}").astype(np.uint64)
-    bits = x.dtype.itemsize * 8
-    if np.issubdtype(x.dtype, np.floating):
-        sign = b >> np.uint64(bits - 1)
-        return np.where(sign == 1, (~b) & np.uint64((1 << bits) - 1),
-                        b | np.uint64(1 << (bits - 1)))
-    if np.issubdtype(x.dtype, np.signedinteger):
-        return b ^ np.uint64(1 << (bits - 1))
-    return b
+from oracles import kdf_key as _key  # shared KDF total-order oracle
 
 
 @pytest.mark.parametrize("dtype", _DTYPES)

@@ -270,8 +270,7 @@ def test_regenerate_windowed_small_windows(rng, window):
 def test_sort_words_counting_windowed_masked(rng):
     # engine-level: 13-live-bit masked u32 through sort_words_counting
     from radix_sorting_tpu.ops.counting_engine import sort_words_counting
-    mask = 0x000FFF80 & 0xFFFFF80  # 13 bits
-    mask = 0x1FFF << 7
+    mask = 0x1FFF << 7  # 13 contiguous live bits at position 7
     n = 700_000
     x = rng.integers(0, 1 << 32, size=n, dtype=np.uint32) & np.uint32(mask)
     (out,) = sort_words_counting((jnp.asarray(x),), (mask,))

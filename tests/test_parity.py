@@ -29,7 +29,14 @@ def _ensure_driver():
     # foreign code can opt out with RST_PARITY=0 (round-2 advisor note).
     if os.environ.get("RST_PARITY") == "0":
         pytest.skip("parity harness disabled (RST_PARITY=0)")
-    if DRIVER.exists() and DRIVER.stat().st_mtime >= DRIVER_SRC.stat().st_mtime:
+    # staleness must account for the REFERENCE sources the driver textually
+    # #includes, not just the driver .cpp — a changed reference checkout
+    # would otherwise byte-compare against a binary of the OLD reference
+    dep_mtimes = [DRIVER_SRC.stat().st_mtime]
+    dep_mtimes += [p.stat().st_mtime
+                   for pat in ("*.hpp", "*.h", "*.c")
+                   for p in REF.glob(pat)]
+    if DRIVER.exists() and DRIVER.stat().st_mtime >= max(dep_mtimes):
         return
     gxx = shutil.which("g++")
     if gxx is None:

@@ -26,9 +26,17 @@ def _mesh():
     return Mesh(np.array(devs[:8]), ("x",))
 
 
-def _no_races():
+def _no_races(expect_ran: bool = True):
+    """True iff the vector-clock detector found no races.
+
+    With ``expect_ran`` (the default) a detector that never ran FAILS the
+    check — `ipc.races is None` would otherwise certify the DMA protocol
+    race-free vacuously whenever the detection plumbing breaks.
+    """
     from jax._src.pallas.mosaic.interpret import interpret_pallas_call as ipc
-    return ipc.races is None or not ipc.races.races_found
+    if ipc.races is None:
+        return not expect_ran
+    return not ipc.races.races_found
 
 
 def _xla_ref(x, mesh, axis):

@@ -39,16 +39,7 @@ def _gen(r, dtype, n):
     return r.integers(info.min, info.max, size=n, dtype=dtype, endpoint=True)
 
 
-def _key(x):
-    b = np.ascontiguousarray(x).view(f"u{x.dtype.itemsize}").astype(np.uint64)
-    bits = x.dtype.itemsize * 8
-    if np.issubdtype(x.dtype, np.floating):
-        sign = b >> np.uint64(bits - 1)
-        return np.where(sign == 1, (~b) & np.uint64((1 << bits) - 1),
-                        b | np.uint64(1 << (bits - 1)))
-    if np.issubdtype(x.dtype, np.signedinteger):
-        return b ^ np.uint64(1 << (bits - 1))
-    return b
+from oracles import kdf_key as _key  # shared KDF total-order oracle
 
 
 @pytest.mark.parametrize("seed", range(50))
@@ -213,9 +204,18 @@ def test_soak_distributed_records(seed):
         x = r.integers(0, 5, size=n, dtype=np.uint32)
     else:
         x = np.full(n, 0xFFFFFFFF, np.uint32)  # all-maximal (pad adversary)
-    method, kw = (("balanced", {"chunk": int(r.integers(1, max(2, n // 4))),
-                                "overlap": bool(seed % 2)})
-                  if seed % 2 == 0 else ("shuffle", {"exact": True}))
+    # seed-driven coverage of BOTH backends, overlap mode, and BOTH exchange
+    # implementations (a previous form computed overlap from the same parity
+    # that selected the branch, so overlap=True never ran — review finding)
+    if seed % 2 == 0:
+        method = "balanced"
+        kw = {"chunk": int(r.integers(1, max(2, n // 4))),
+              "overlap": bool(r.integers(0, 2)),
+              "exchange": "rdma" if seed % 4 == 0 else "xla"}
+    else:
+        method = "shuffle"
+        kw = {"exact": True,
+              "exchange": "rdma" if seed % 4 == 1 else "xla"}
     expect = np.argsort(x, kind="stable").astype(np.uint32)
     if seed % 3 == 0:
         _, perm, counts, ovf = distributed_argsort(
