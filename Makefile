@@ -8,9 +8,11 @@ TESTENV = PALLAS_AXON_POOL_IPS=
 
 all: native
 
-# build the native host runtime (`radix_sorting_tpu/native/radix_rt.cpp`)
+# build the native host runtime (`radix_sorting_tpu/native/radix_rt.cpp`);
+# fails the make when the build fails (a bare availability print let a broken
+# toolchain green-light `make all` — round-3 review)
 native:
-	$(PY) -c "from radix_sorting_tpu.runtime import native; print('native:', native.available())"
+	$(PY) -c "from radix_sorting_tpu.runtime import native; import sys; ok = native.available(); print('native:', ok); sys.exit(0 if ok else 1)"
 
 # CPU test suite (8 virtual devices; `make test` analog, Makefile:54-55)
 test:
@@ -52,9 +54,11 @@ parity-check-quick: parity/ref_driver
 # render architecture diagrams (the reference's data/Makefile analog);
 # degrades to a notice when graphviz is absent
 diagrams:
-	@command -v dot >/dev/null 2>&1 \
-		&& for f in docs/*.dot; do dot $$f -Tsvg -o $${f%.dot}.svg && echo "rendered $${f%.dot}.svg"; done \
-		|| echo "graphviz 'dot' not installed; diagram sources in docs/*.dot"
+	@if command -v dot >/dev/null 2>&1; then \
+		for f in docs/*.dot; do dot $$f -Tsvg -o $${f%.dot}.svg && echo "rendered $${f%.dot}.svg" || exit 1; done; \
+	else \
+		echo "graphviz 'dot' not installed; diagram sources in docs/*.dot"; \
+	fi
 
 # create the 40M-key dataset (`make genkeys` analog, Makefile:79-82)
 genkeys:

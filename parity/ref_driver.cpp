@@ -132,6 +132,12 @@ int main(int argc, char **argv) {
   // multi-byte bug, kept to demonstrate it); 2 = the C listing rank sort
   int rank = std::string(argv[7]) == "rank" ? 1
            : std::string(argv[7]) == "rankc" ? 2 : 0;
+  if (rank == 2 && (type != "u32" || reverse)) {
+    // the C listing sorts raw u32 ascending only; a sizeof-based guard would
+    // wrongly admit f32/i32 (raw-bit order, no KDF) and silently ignore rev
+    std::fprintf(stderr, "rankc supports only u32 fwd\n");
+    return 2;
+  }
 
   if (type == "u8")  return run<uint8_t>(keyfile, outfile, n, mask, have_mask, reverse, rank);
   if (type == "u16") return run<uint16_t>(keyfile, outfile, n, mask, have_mask, reverse, rank);

@@ -10,12 +10,12 @@ keep a 1:1, testable correspondence with the reference inventory.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Optional
 
 import jax.numpy as jnp
 
 from .. import api
-from ..config import DEFAULT_CONFIG, SortConfig, Strategy
+from ..config import DEFAULT_CONFIG, SortConfig
 from ..ops.bitmap import bitmap_unique_sort
 
 __all__ = [
@@ -92,10 +92,21 @@ class RankSorter(_ConfiguredSorter):
 
 
 class BitmapSorter16(_ConfiguredSorter):
-    """Bitmap unique-sort over a 16-bit domain (`bitmap_sort_16.c:6-28`)."""
+    """Bitmap unique-sort over a 16-bit domain (`bitmap_sort_16.c:6-28`).
+
+    Honors ``config.descending`` by reversing the valid prefix (the bitmap
+    scan itself is ascending-only, like the reference's `bits & -bits` walk).
+    """
 
     def __call__(self, keys, size: Optional[int] = None):
-        return bitmap_unique_sort(keys, size=size)
+        values, count = bitmap_unique_sort(keys, size=size)
+        if self.config.descending:
+            # reverse only the valid prefix; padding stays at the tail
+            n = values.shape[0]
+            idx = jnp.where(jnp.arange(n) < count,
+                            count - 1 - jnp.arange(n), jnp.arange(n))
+            values = jnp.take(values, idx)
+        return values, count
 
 
 class GenericRadixSorter(_ConfiguredSorter):

@@ -62,13 +62,15 @@ int is_sorted_derived(const W* data, int64_t n, int kind, int descending) {
 }
 
 // Stable LSD radix oracle over derived keys, one byte per round.
+// Returns false on allocation failure (data untouched) so the C ABI can
+// report it instead of handing back unsorted data labeled as sorted.
 template <typename W>
-void oracle_sort(W* data, int64_t n, int kind) {
-  if (n < 2) return;
+bool oracle_sort(W* data, int64_t n, int kind) {
+  if (n < 2) return true;
   const int bits = 8 * static_cast<int>(sizeof(W));
   const int rounds = bits / 8;
   W* spare = static_cast<W*>(std::malloc(sizeof(W) * static_cast<size_t>(n)));
-  if (!spare) return;
+  if (!spare) return false;
   W* cur = data;
   W* next = spare;
   for (int r = 0; r < rounds; ++r) {
@@ -93,18 +95,19 @@ void oracle_sort(W* data, int64_t n, int kind) {
   }
   if (cur != data) std::memcpy(data, cur, sizeof(W) * static_cast<size_t>(n));
   std::free(spare);
+  return true;
 }
 
 // Stable rank (argsort) oracle: permutes an index vector, input untouched.
 template <typename W>
-void oracle_rank(const W* data, uint32_t* idx, int64_t n, int kind) {
-  if (n < 1) return;
+bool oracle_rank(const W* data, uint32_t* idx, int64_t n, int kind) {
+  if (n < 1) return true;
   const int bits = 8 * static_cast<int>(sizeof(W));
   const int rounds = bits / 8;
   for (int64_t i = 0; i < n; ++i) idx[i] = static_cast<uint32_t>(i);
   uint32_t* spare =
       static_cast<uint32_t*>(std::malloc(sizeof(uint32_t) * static_cast<size_t>(n)));
-  if (!spare) return;
+  if (!spare) return false;
   uint32_t* cur = idx;
   uint32_t* next = spare;
   for (int r = 0; r < rounds; ++r) {
@@ -126,6 +129,7 @@ void oracle_rank(const W* data, uint32_t* idx, int64_t n, int kind) {
   }
   if (cur != idx) std::memcpy(idx, cur, sizeof(uint32_t) * static_cast<size_t>(n));
   std::free(spare);
+  return true;
 }
 
 }  // namespace
@@ -138,6 +142,7 @@ extern "C" {
 // mmap-based (one copy, no buffered-IO overhead — the native equivalent of
 // `radix_experiment.cpp:78-104`). Returns items read, or -1 on error.
 int64_t rrt_read_keyfile(const char* path, void* out, int64_t n, int itemsize) {
+  if (itemsize <= 0) return -1;  // divide-by-zero guard (SIGFPE via ctypes)
   int fd = open(path, O_RDONLY);
   if (fd < 0) return -1;
   struct stat st;
@@ -204,11 +209,11 @@ int rrt_is_sorted(const void* data, int64_t n, int width, int kind,
 
 // In-place stable LSD radix sort in KDF order. Returns 0, or -1 on bad args.
 int rrt_oracle_sort(void* data, int64_t n, int width, int kind) {
-  switch (width) {
-    case 1: oracle_sort(static_cast<uint8_t*>(data), n, kind); return 0;
-    case 2: oracle_sort(static_cast<uint16_t*>(data), n, kind); return 0;
-    case 4: oracle_sort(static_cast<uint32_t*>(data), n, kind); return 0;
-    case 8: oracle_sort(static_cast<uint64_t*>(data), n, kind); return 0;
+  switch (width) {  // -2 = allocation failure (data untouched)
+    case 1: return oracle_sort(static_cast<uint8_t*>(data), n, kind) ? 0 : -2;
+    case 2: return oracle_sort(static_cast<uint16_t*>(data), n, kind) ? 0 : -2;
+    case 4: return oracle_sort(static_cast<uint32_t*>(data), n, kind) ? 0 : -2;
+    case 8: return oracle_sort(static_cast<uint64_t*>(data), n, kind) ? 0 : -2;
     default: return -1;
   }
 }
@@ -216,11 +221,11 @@ int rrt_oracle_sort(void* data, int64_t n, int width, int kind) {
 // Stable rank/argsort: fills idx with the unique stable permutation.
 int rrt_oracle_rank(const void* data, uint32_t* idx, int64_t n, int width,
                     int kind) {
-  switch (width) {
-    case 1: oracle_rank(static_cast<const uint8_t*>(data), idx, n, kind); return 0;
-    case 2: oracle_rank(static_cast<const uint16_t*>(data), idx, n, kind); return 0;
-    case 4: oracle_rank(static_cast<const uint32_t*>(data), idx, n, kind); return 0;
-    case 8: oracle_rank(static_cast<const uint64_t*>(data), idx, n, kind); return 0;
+  switch (width) {  // -2 = allocation failure (idx incomplete)
+    case 1: return oracle_rank(static_cast<const uint8_t*>(data), idx, n, kind) ? 0 : -2;
+    case 2: return oracle_rank(static_cast<const uint16_t*>(data), idx, n, kind) ? 0 : -2;
+    case 4: return oracle_rank(static_cast<const uint32_t*>(data), idx, n, kind) ? 0 : -2;
+    case 8: return oracle_rank(static_cast<const uint64_t*>(data), idx, n, kind) ? 0 : -2;
     default: return -1;
   }
 }

@@ -120,13 +120,17 @@ def read_keyfile(path, count: int, dtype=np.uint32) -> np.ndarray:
 
 
 def generate_keyfile(path, count: int, seed: int = 0x5EED) -> None:
-    lib = load()
-    if lib is None:
-        from ..utils import keyfile as kf
-        kf.write_keyfile(path, kf.generate_keys(count, seed))
-        return
-    if lib.rrt_generate_keyfile(str(path).encode(), count, seed) != 0:
-        raise OSError(f"native keyfile generation at {path} failed")
+    """Write the CANONICAL benchmark key stream (PCG64) to ``path``.
+
+    Always the numpy/PCG64 stream — the native `rrt_generate_keyfile`
+    (splitmix64) produces a DIFFERENT byte stream for the same (count,
+    seed), so routing through it would make the dataset depend on whether a
+    C++ toolchain is present (round-3 review finding). The native generator
+    remains in the library for standalone C consumers, documented as a
+    non-canonical stream.
+    """
+    from ..utils import keyfile as kf
+    kf.write_keyfile(path, kf.generate_keys(count, seed))
 
 
 def is_sorted(arr: np.ndarray, descending: bool = False) -> bool:
@@ -148,8 +152,11 @@ def oracle_sort(arr: np.ndarray) -> np.ndarray:
     a = np.ascontiguousarray(arr).copy()
     if lib is None:
         raise RuntimeError("native runtime unavailable")
-    if lib.rrt_oracle_sort(a.ctypes.data, a.size, a.dtype.itemsize,
-                           _kind_of(a.dtype)) != 0:
+    r = lib.rrt_oracle_sort(a.ctypes.data, a.size, a.dtype.itemsize,
+                            _kind_of(a.dtype))
+    if r == -2:
+        raise MemoryError("native oracle allocation failed")
+    if r != 0:
         raise ValueError(f"unsupported dtype {a.dtype}")
     return a
 
@@ -161,7 +168,10 @@ def oracle_rank(arr: np.ndarray) -> np.ndarray:
     if lib is None:
         raise RuntimeError("native runtime unavailable")
     idx = np.empty(a.size, dtype=np.uint32)
-    if lib.rrt_oracle_rank(a.ctypes.data, idx.ctypes.data, a.size,
-                           a.dtype.itemsize, _kind_of(a.dtype)) != 0:
+    r = lib.rrt_oracle_rank(a.ctypes.data, idx.ctypes.data, a.size,
+                            a.dtype.itemsize, _kind_of(a.dtype))
+    if r == -2:
+        raise MemoryError("native oracle allocation failed")
+    if r != 0:
         raise ValueError(f"unsupported dtype {a.dtype}")
     return idx

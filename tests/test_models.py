@@ -80,6 +80,11 @@ def test_bitmap_sorter_16(rng):
     uq = np.unique(x)
     assert int(count) == len(uq)
     assert np.array_equal(np.asarray(values)[: len(uq)], uq)
+    # descending config must not be silently ignored (review finding)
+    values, count = BitmapSorter16(rst.SortConfig(descending=True))(
+        jnp.asarray(x))
+    assert int(count) == len(uq)
+    assert np.array_equal(np.asarray(values)[: len(uq)], uq[::-1])
 
 
 def test_generic_radix_sorter(rng):
