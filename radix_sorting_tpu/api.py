@@ -61,20 +61,7 @@ def _as_words(x, descending: bool, allow_nd: bool = False) -> Tuple[Tuple[jax.Ar
     if isinstance(x, np.ndarray) and x.dtype.itemsize == 8 and not jax.config.jax_enable_x64:
         if x.ndim != 1 and not allow_nd:
             raise ValueError(f"keys must be 1-D, got shape {x.shape}")
-        hi, lo = kdf.split64_np(x)
-        # Apply the 64-bit KDF rules on the planes (see ops/kdf.py).
-        kind = np.dtype(x.dtype).kind
-        if kind == "i":
-            hi = hi ^ np.uint32(0x80000000)
-        elif kind == "f":
-            sign = hi >> np.uint32(31)
-            ext = jnp.zeros_like(hi) - sign
-            hi = hi ^ (ext | np.uint32(0x80000000))
-            lo = lo ^ ext
-        words = (hi, lo)
-        if descending:
-            words = kdf.complement(words)
-        return words, np.dtype(x.dtype)
+        return kdf.encode64_np(x, descending), np.dtype(x.dtype)
     xa = jnp.asarray(x)
     if xa.ndim != 1 and not allow_nd:
         raise ValueError(f"keys must be 1-D, got shape {xa.shape}")
@@ -83,19 +70,7 @@ def _as_words(x, descending: bool, allow_nd: bool = False) -> Tuple[Tuple[jax.Ar
 
 def _decode(words, dtype, descending: bool):
     if isinstance(dtype, np.dtype) and dtype.itemsize == 8 and not jax.config.jax_enable_x64:
-        hi, lo = (kdf.complement(words) if descending else words)
-        kind = dtype.kind
-        hi_np = np.asarray(hi).astype(np.uint64)
-        lo_np = np.asarray(lo).astype(np.uint64)
-        if kind == "i":
-            hi_np = hi_np ^ np.uint64(0x80000000)
-        elif kind == "f":
-            nonneg = (hi_np >> np.uint64(31)) & np.uint64(1)
-            ext = np.where(nonneg == 1, np.uint64(0), np.uint64(0xFFFFFFFF))
-            hi_np = np.where(nonneg == 1, hi_np ^ np.uint64(0x80000000),
-                             ~hi_np & np.uint64(0xFFFFFFFF))
-            lo_np = lo_np ^ ext
-        return kdf.join64_np(hi_np, lo_np, dtype)
+        return kdf.decode64_np(words, dtype, descending)
     return kdf.decode(words, dtype, descending=descending)
 
 
@@ -109,22 +84,63 @@ def _check_index_width(n: int, index_dtype) -> None:
         )
 
 
+def _is_np64_no_x64(leaf) -> bool:
+    """64-bit numpy leaf while x64 is off: jnp.asarray would SILENTLY
+    truncate to 32 bits (int64 -> int32, float64 -> float32), corrupting
+    payload values — such leaves ride as two raw u32 planes instead."""
+    return (isinstance(leaf, np.ndarray) and leaf.dtype.itemsize == 8
+            and not jax.config.jax_enable_x64)
+
+
 def _flatten_payload(values):
+    """Payload pytree -> sorter operand planes + rebuild metadata.
+
+    Returns (planes, meta); ``meta`` is ``(treedef, specs)`` where each spec
+    is ``None`` (leaf rode natively as one operand) or the original 64-bit
+    numpy dtype (leaf rode as raw (hi, lo) u32 planes — bit-exact without
+    x64, like the distributed payload codec in `parallel/_payload.py`).
+    """
     if values is None:
         return (), None
     leaves, treedef = jax.tree.flatten(values)
     n = None
-    out = []
+    planes, specs = [], []
     for leaf in leaves:
-        a = jnp.asarray(leaf)
-        if a.ndim != 1:
-            raise ValueError("payload leaves must be 1-D arrays")
+        if _is_np64_no_x64(leaf):
+            if leaf.ndim != 1:
+                raise ValueError("payload leaves must be 1-D arrays")
+            ln = leaf.shape[0]
+            hi, lo = kdf.split64_np(leaf)
+            planes += [hi, lo]
+            specs.append(np.dtype(leaf.dtype))
+        else:
+            a = jnp.asarray(leaf)
+            if a.ndim != 1:
+                raise ValueError("payload leaves must be 1-D arrays")
+            ln = a.shape[0]
+            planes.append(a)
+            specs.append(None)
         if n is None:
-            n = a.shape[0]
-        elif a.shape[0] != n:
+            n = ln
+        elif ln != n:
             raise ValueError("payload leaves must share the key length")
-        out.append(a)
-    return tuple(out), treedef
+    return tuple(planes), (treedef, tuple(specs))
+
+
+def _unflatten_payload(sorted_planes, meta):
+    if meta is None:
+        return None
+    treedef, specs = meta
+    out, i = [], 0
+    for spec in specs:
+        if spec is None:
+            out.append(sorted_planes[i])
+            i += 1
+        else:
+            hi, lo = sorted_planes[i], sorted_planes[i + 1]
+            i += 2
+            out.append(kdf.join64_np(hi, lo, spec))
+    return jax.tree.unflatten(treedef, out)
 
 
 def _validate_value_mask(x, dtype, value_mask: int) -> None:
@@ -185,7 +201,7 @@ def _static_live_mask(words, value_mask, dtype, cfg: SortConfig) -> Optional[Tup
     reference's mask knob covers every key width, so 64-bit keys participate
     too: their masks split into (hi, lo) plane masks.
     """
-    bits = jnp.dtype(dtype).itemsize * 8 if not isinstance(dtype, np.dtype) else dtype.itemsize * 8
+    bits = jnp.dtype(dtype).itemsize * 8
     kind = jnp.dtype(dtype).kind
     mask = None
     if value_mask is not None:
@@ -239,7 +255,10 @@ def sort(x, *, config: SortConfig = DEFAULT_CONFIG, value_mask: Optional[int] = 
     words, dtype = _as_words(x, cfg.descending)
     n = int(words[0].shape[0])
     if n <= 1:
-        return x if not isinstance(x, np.ndarray) else x.copy()
+        # normalize like the n>1 path would (a bare list must not leak back)
+        if isinstance(x, np.ndarray):
+            return x.copy()
+        return x if isinstance(x, jax.Array) else jnp.asarray(x)
     if value_mask is not None and validate_mask:
         _validate_value_mask(x, dtype, value_mask)
 
@@ -269,7 +288,7 @@ def sort(x, *, config: SortConfig = DEFAULT_CONFIG, value_mask: Optional[int] = 
         # *complemented* live bits, so pass the complemented mask
         if mask is not None:
             strategy = Strategy.COUNTING
-        elif cfg.device_probe and len(words) <= 2 and cmasks is None:
+        elif cfg.device_probe and cmasks is None:
             # (The compaction guard: a 64-bit value_mask with 18-32 live
             # bits is a *static* promise of the one-operand sorter route —
             # a measured 1.4x — which must not be pre-empted by the runtime
@@ -310,10 +329,16 @@ def sort(x, *, config: SortConfig = DEFAULT_CONFIG, value_mask: Optional[int] = 
         return _decode(sorted_words, dtype, cfg.descending)
 
     if strategy == Strategy.LSD:
+        # plane compaction pays here too (fewer words -> fewer digit passes);
+        # mirrors sort_pairs' LSD route
+        operands = words if cmasks is None \
+            else (probes.compact_word_planes(words, cmasks),)
         sw, _ = lsd_engine.sort_words_lsd(
-            words, (), radix_bits=cfg.radix_bits, chunk=cfg.lsd_chunk,
+            operands, (), radix_bits=cfg.radix_bits, chunk=cfg.lsd_chunk,
             skip_trivial=cfg.skip_trivial_digits,
         )
+        if cmasks is not None:
+            sw = probes.expand_word_planes(sw[0], words, cmasks)
         return _decode(sw, dtype, cfg.descending)
 
     # HW_SORT; keys-only, so the unstable fast path is exact (see hw_engine).
@@ -351,6 +376,13 @@ def argsort(x, *, config: SortConfig = DEFAULT_CONFIG, index_dtype=jnp.uint32,
     if value_mask is not None and validate_mask:
         _validate_value_mask(x, dtype, value_mask)
 
+    if cfg.strategy == Strategy.COUNTING:
+        # raise like sort() does for an inapplicable COUNTING request —
+        # silently running the sorter would measure the wrong engine
+        raise ValueError(
+            "Strategy.COUNTING is keys-only (regeneration rebuilds values "
+            "from the histogram and cannot carry a permutation); use AUTO, "
+            "LSD, or HW_SORT for argsort")
     if cfg.strategy == Strategy.LSD:
         _, (perm,) = lsd_engine.sort_words_lsd(
             words, (iota,), radix_bits=cfg.radix_bits, chunk=cfg.lsd_chunk,
@@ -393,13 +425,18 @@ def sort_pairs(keys, values, *, config: SortConfig = DEFAULT_CONFIG,
     """
     cfg = config
     words, dtype = _as_words(keys, cfg.descending)
-    leaves, treedef = _flatten_payload(values)
+    leaves, pmeta = _flatten_payload(values)
     n = int(words[0].shape[0])
     if n != (leaves[0].shape[0] if leaves else n):
         raise ValueError("keys and payload lengths differ")
     if value_mask is not None and validate_mask:
         _validate_value_mask(keys, dtype, value_mask)
 
+    if cfg.strategy == Strategy.COUNTING:
+        raise ValueError(
+            "Strategy.COUNTING is keys-only (regeneration rebuilds values "
+            "from the histogram and cannot carry a payload); use AUTO, LSD, "
+            "or HW_SORT for sort_pairs")
     cmasks = _compaction_masks(words, value_mask, dtype, cfg)
     operands = words if cmasks is None \
         else (probes.compact_word_planes(words, cmasks),)
@@ -415,8 +452,7 @@ def sort_pairs(keys, values, *, config: SortConfig = DEFAULT_CONFIG,
     if cmasks is not None:
         sw = probes.expand_word_planes(sw[0], words, cmasks)
     sorted_keys = _decode(sw, dtype, cfg.descending)
-    sorted_values = jax.tree.unflatten(treedef, sp) if treedef is not None else None
-    return sorted_keys, sorted_values
+    return sorted_keys, _unflatten_payload(sp, pmeta)
 
 
 def counting_sort(keys, values=None, *, config: SortConfig = DEFAULT_CONFIG):
@@ -436,6 +472,11 @@ def counting_sort(keys, values=None, *, config: SortConfig = DEFAULT_CONFIG):
             counting_max_bits=max(config.counting_max_bits, bits),
         )
         return sort(keys, config=cfg)
+    # the payload form IS the counting-with-payload realization (stable sort
+    # by the narrow key), so an explicit COUNTING request maps to AUTO here
+    # rather than tripping sort_pairs' keys-only COUNTING rejection
+    if config.strategy == Strategy.COUNTING:
+        config = config.replace(strategy=Strategy.AUTO)
     return sort_pairs(keys, values, config=config)
 
 
@@ -548,17 +589,29 @@ def sort_pairs_batched(keys, values, *, axis: int = -1,
     words, dtype = _as_words(km, config.descending, allow_nd=True)
     dim = words[0].ndim - 1
     leaves, treedef = jax.tree.flatten(values)
-    moved = []
+    moved, specs, norm_leaves = [], [], []
     for leaf in leaves:
-        la = jnp.asarray(leaf)
-        if tuple(la.shape) != key_shape:
-            raise ValueError("payload leaves must match the keys' shape")
-        moved.append(_moveaxis_last(la, axis)[0])
+        if _is_np64_no_x64(leaf):
+            # ride as raw (hi, lo) u32 planes; jnp.asarray would silently
+            # truncate (see _flatten_payload)
+            if tuple(leaf.shape) != key_shape:
+                raise ValueError("payload leaves must match the keys' shape")
+            hi, lo = kdf.split64_np(leaf)
+            moved += [_moveaxis_last(hi, axis)[0], _moveaxis_last(lo, axis)[0]]
+            specs.append(np.dtype(leaf.dtype))
+            norm_leaves.append(leaf)
+        else:
+            la = jnp.asarray(leaf)
+            if tuple(la.shape) != key_shape:
+                raise ValueError("payload leaves must match the keys' shape")
+            moved.append(_moveaxis_last(la, axis)[0])
+            specs.append(None)
+            norm_leaves.append(la)
     if _single_batch(km):
         shp = km.shape
+        flat_leaves = [leaf.reshape(-1) for leaf in norm_leaves]  # dtype-preserving
         sk, sv = sort_pairs(
-            km.reshape(-1),
-            jax.tree.unflatten(treedef, [m.reshape(-1) for m in moved]),
+            km.reshape(-1), jax.tree.unflatten(treedef, flat_leaves),
             config=config)
         return (_restore_axis(sk.reshape(shp), axis),
                 jax.tree.map(lambda p: _restore_axis(p.reshape(shp), axis), sv))
@@ -566,5 +619,13 @@ def sort_pairs_batched(keys, values, *, axis: int = -1,
                    num_keys=len(words))
     sw, sp = out[: len(words)], out[len(words):]
     sorted_keys = _restore_axis(_decode(tuple(sw), dtype, config.descending), axis)
-    sorted_values = jax.tree.unflatten(treedef, [_restore_axis(p, axis) for p in sp])
-    return sorted_keys, sorted_values
+    rebuilt, i = [], 0
+    for spec in specs:
+        if spec is None:
+            rebuilt.append(_restore_axis(sp[i], axis))
+            i += 1
+        else:
+            rebuilt.append(_restore_axis(
+                kdf.join64_np(sp[i], sp[i + 1], spec), axis))
+            i += 2
+    return sorted_keys, jax.tree.unflatten(treedef, rebuilt)

@@ -52,6 +52,8 @@ __all__ = [
     "key_bits",
     "complement",
     "split64_np",
+    "encode64_np",
+    "decode64_np",
     "join64_np",
     "SUPPORTED_DTYPES",
 ]
@@ -116,6 +118,46 @@ def join64_np(hi, lo, dtype) -> np.ndarray:
     u = (np.asarray(hi).astype(np.uint64) << np.uint64(32)) \
         | np.asarray(lo).astype(np.uint64)
     return u.view(np.dtype(dtype))
+
+
+def encode64_np(x: np.ndarray, descending: bool = False) -> Tuple[jax.Array, jax.Array]:
+    """KDF-encode a 64-bit NUMPY array into (hi, lo) u32 planes, no x64 needed.
+
+    The numpy-input counterpart of :func:`encode`'s 64-bit branch — the same
+    sign-flip / float-mangle rules applied to the raw planes, kept HERE so
+    the KDF stays the single extension point (CLAUDE.md invariant; a copy of
+    these rules previously lived in api._as_words).
+    """
+    hi, lo = split64_np(x)
+    kind = np.dtype(x.dtype).kind
+    if kind == "i":
+        hi = hi ^ np.uint32(0x80000000)
+    elif kind == "f":
+        sign = hi >> np.uint32(31)
+        ext = jnp.zeros_like(hi) - sign              # 0x00000000 or 0xFFFFFFFF
+        hi = hi ^ (ext | np.uint32(0x80000000))
+        lo = lo ^ ext
+    words = (hi, lo)
+    if descending:
+        words = complement(words)
+    return words
+
+
+def decode64_np(words, dtype, descending: bool = False) -> np.ndarray:
+    """Host-side inverse of :func:`encode64_np`: 64-bit numpy array of ``dtype``."""
+    hi, lo = (complement(words) if descending else words)
+    kind = np.dtype(dtype).kind
+    hi_np = np.asarray(hi).astype(np.uint64)
+    lo_np = np.asarray(lo).astype(np.uint64)
+    if kind == "i":
+        hi_np = hi_np ^ np.uint64(0x80000000)
+    elif kind == "f":
+        nonneg = (hi_np >> np.uint64(31)) & np.uint64(1)
+        ext = np.where(nonneg == 1, np.uint64(0), np.uint64(0xFFFFFFFF))
+        hi_np = np.where(nonneg == 1, hi_np ^ np.uint64(0x80000000),
+                         ~hi_np & np.uint64(0xFFFFFFFF))
+        lo_np = lo_np ^ ext
+    return join64_np(hi_np, lo_np, dtype)
 
 
 def _split64(x: jax.Array) -> Tuple[jax.Array, jax.Array]:

@@ -314,3 +314,10 @@ def test_distributed_ragged_all_sentinel_keys(rng, mesh):
     sk, pl, counts, ovf = distributed_sort_pairs_u32(
         jnp.asarray(x), jnp.asarray(payload), mesh, exact=True)
     assert np.array_equal(gather_sorted(pl, counts, ovf), payload)
+
+
+def test_global_histogram_pass_index_validated(rng, mesh):
+    from radix_sorting_tpu.parallel import global_digit_histogram
+    x = jnp.asarray(rng.integers(0, 1 << 32, size=1 << 12, dtype=np.uint32))
+    with pytest.raises(ValueError, match="pass_index"):
+        global_digit_histogram(x, mesh, pass_index=4)

@@ -181,3 +181,49 @@ def test_pairs_compaction_lsd_route(rng):
     order = np.argsort(keys, kind="stable")
     assert np.array_equal(np.asarray(sk), keys[order])
     assert np.array_equal(np.asarray(sv), payload[order])
+
+
+# ---------------------------------------------------------------------------
+# round-3 review regressions
+
+
+def test_pairs_numpy64_payload_bit_exact(rng):
+    # 64-bit NUMPY payload leaves without x64 must survive bit-exactly (a
+    # plain jnp.asarray silently truncated int64 -> int32 / float64 ->
+    # float32 — review finding); they ride as raw (hi, lo) u32 planes
+    n = 4_001
+    keys = rng.integers(0, 50, size=n, dtype=np.uint32)
+    p64 = rng.integers(0, 1 << 63, size=n, dtype=np.uint64) | np.uint64(1 << 40)
+    pf64 = rng.standard_normal(n)                      # float64
+    sk, sv = rst.sort_pairs(jnp.asarray(keys), {"u": p64, "f": pf64})
+    order = np.argsort(keys, kind="stable")
+    assert sv["u"].dtype == np.uint64
+    assert np.array_equal(sv["u"], p64[order])
+    assert sv["f"].dtype == np.float64
+    assert np.array_equal(sv["f"].view(np.uint64), pf64[order].view(np.uint64))
+
+
+def test_pairs_batched_numpy64_payload_bit_exact(rng):
+    n, rows = 513, 4
+    keys = rng.integers(0, 9, size=(rows, n), dtype=np.uint32)
+    p64 = rng.integers(0, 1 << 63, size=(rows, n), dtype=np.int64)
+    sk, sv = rst.sort_pairs_batched(jnp.asarray(keys), {"p": p64})
+    for r in range(rows):
+        order = np.argsort(keys[r], kind="stable")
+        assert np.array_equal(np.asarray(sv["p"][r], dtype=np.int64),
+                              p64[r][order])
+
+
+def test_counting_strategy_rejected_for_rank_and_pairs(rng):
+    x = rng.integers(0, 256, size=1000, dtype=np.uint32)
+    cfg = rst.SortConfig(strategy=rst.Strategy.COUNTING)
+    with pytest.raises(ValueError, match="keys-only"):
+        rst.argsort(jnp.asarray(x), config=cfg, value_mask=0xFF)
+    with pytest.raises(ValueError, match="keys-only"):
+        rst.sort_pairs(jnp.asarray(x), jnp.asarray(x), config=cfg,
+                       value_mask=0xFF)
+    # counting_sort's payload form IS counting-with-payload: must not raise
+    k8 = x.astype(np.uint8)
+    sk, sv = rst.counting_sort(jnp.asarray(k8), jnp.asarray(x), config=cfg)
+    order = np.argsort(k8, kind="stable")
+    assert np.array_equal(np.asarray(sv), x[order])

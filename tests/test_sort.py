@@ -298,3 +298,20 @@ def test_numpy_u64_2d_rejected():
     # batched entry points still accept N-D numpy u64
     out = np.asarray(rst.sort_batched(x), dtype=np.uint64)
     assert np.array_equal(out, np.sort(x, axis=-1))
+
+
+def test_sort_normalizes_tiny_list_inputs():
+    # n<=1 early return must not leak a bare Python list back (review finding)
+    out = rst.sort([5])
+    assert hasattr(out, "dtype") and out.shape == (1,)
+    out = rst.sort([])
+    assert hasattr(out, "dtype") and out.shape == (0,)
+
+
+def test_sort_lsd_masked_u64_compaction_route(rng):
+    # sort()'s LSD branch applies plane compaction like sort_pairs' does
+    mask = (0xFFF << 32) | 0xFF0
+    x = rng.integers(0, 1 << 63, size=20_011, dtype=np.uint64) & np.uint64(mask)
+    cfg = rst.SortConfig(strategy=rst.Strategy.LSD)
+    out = np.asarray(rst.sort(x, config=cfg, value_mask=mask), dtype=np.uint64)
+    assert np.array_equal(out, np.sort(x))
