@@ -202,7 +202,12 @@ def _static_live_mask(words, value_mask, dtype, cfg: SortConfig) -> Optional[Tup
     too: their masks split into (hi, lo) plane masks.
     """
     bits = jnp.dtype(dtype).itemsize * 8
-    kind = jnp.dtype(dtype).kind
+    # kdf.kind, NOT numpy's dtype.kind: ml_dtypes floats (bfloat16, float8_*)
+    # report numpy kind 'V', which (a) dropped bfloat16 off the counting fast
+    # path entirely and (b) skipped the negative-admitting-mask guard below,
+    # returning a WRONG positional mask for masked bf16 with live sign bit
+    # (the float KDF inverts all bits of negative keys).
+    kind = kdf.kind(dtype)
     mask = None
     if value_mask is not None:
         mask = int(value_mask) & ((1 << bits) - 1)

@@ -37,7 +37,12 @@ _TYPES = {
     "f32": np.float32, "f64": np.float64,
     # TPU-native extras
     "f16": np.float16, "bf16": "bfloat16",
+    "f8e4m3": "float8_e4m3fn", "f8e5m2": "float8_e5m2",
 }
+
+# ml_dtypes keys (numpy cannot resolve these names via np.dtype): name -> itemsize.
+# They ride as unsigned views host-side and reinterpret on device.
+_ML_DTYPES = {"bfloat16": 2, "float8_e4m3fn": 1, "float8_e5m2": 1}
 
 
 def _parse(argv):
@@ -78,9 +83,10 @@ def main(argv=None) -> int:
     # dataset: the cached 40M key file, reinterpreted at the requested type
     # (the reference reads the same bytes as any type, `radix_experiment.cpp:78`)
     dt = _TYPES[tname]
+    itemsize = _ML_DTYPES[dt] if dt in _ML_DTYPES else np.dtype(dt).itemsize
     # ceil-divide: the +1 blunt form over-requested one word at 40M u32 and
     # triggered a pointless full keyfile rewrite under the growth check
-    words_needed = -(-count * (np.dtype(dt).itemsize if dt != "bfloat16" else 2) // 4)
+    words_needed = -(-count * itemsize // 4)
     if use_mmap:
         # real mmap-backed host read via the native runtime (the reference's
         # `my_allocate` mmap path + provenance print, `radix_experiment.cpp:53-76`);
@@ -93,11 +99,10 @@ def main(argv=None) -> int:
         raw = raw.view(np.uint8)
     else:
         raw = keyfile.load_or_create(words_needed).view(np.uint8)
-    itemsize = 2 if dt == "bfloat16" else np.dtype(dt).itemsize
     if raw.size < count * itemsize:
         sys.exit(f"dataset too small for {count} x {tname}")
-    if dt == "bfloat16":
-        x_np = raw[: count * 2].view(np.uint16)
+    if dt in _ML_DTYPES:
+        x_np = raw[: count * itemsize].view(np.dtype(f"u{itemsize}"))
     else:
         x_np = raw[: count * itemsize].view(dt)
 
@@ -107,8 +112,8 @@ def main(argv=None) -> int:
         u = (u & np.dtype(f"u{itemsize}").type(mask & ((1 << (8 * itemsize)) - 1)))
         x_np = u.view(x_np.dtype)
 
-    if dt == "bfloat16":
-        x = jnp.asarray(x_np).view(jnp.bfloat16)
+    if dt in _ML_DTYPES:
+        x = jnp.asarray(x_np).view(jnp.dtype(dt))
     elif itemsize == 8:
         x = x_np  # 64-bit numpy path (works without x64)
     else:
@@ -144,11 +149,13 @@ def main(argv=None) -> int:
     # sort. Pass the expectation through one device bitcast, exactly like
     # the KDF test oracle (tests/test_kdf.py).
     x_expect = x_np
-    if tname == "f16":
+    if tname == "f16" or dt in _ML_DTYPES:
         from jax import lax
+        dev = x if dt in _ML_DTYPES else jnp.asarray(x_np)
         x_expect = np.asarray(
-            lax.bitcast_convert_type(jnp.asarray(x_np), jnp.uint16)
-        ).view(np.float16)
+            lax.bitcast_convert_type(dev, jnp.dtype(f"uint{itemsize * 8}")))
+        if tname == "f16":
+            x_expect = x_expect.view(np.float16)
 
     ok = verify.is_sorted(out_np if itemsize != 8 else out_np.astype(x_np.dtype))
     ok = ok and verify.same_multiset(out_np.view(x_np.dtype) if out_np.dtype != x_np.dtype

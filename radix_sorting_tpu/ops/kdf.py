@@ -68,6 +68,9 @@ SUPPORTED_DTYPES = (
     "uint8", "uint16", "uint32", "uint64",
     "int8", "int16", "int32", "int64",
     "float16", "bfloat16", "float32", "float64",
+    "float8_e4m3fn", "float8_e5m2",  # beyond-reference: the TPU ML dtypes —
+    # the same sign-mangle rule at 8-bit width; an 8-bit derived domain rides
+    # the 256-bin counting tier, so f8 tensors sort at histogram speed
     "bool",  # beyond-reference: argsort(bool) is a stable partition
 )
 

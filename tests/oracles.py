@@ -22,7 +22,13 @@ def kdf_key(x: np.ndarray) -> np.ndarray:
     """
     b = np.ascontiguousarray(x).view(f"u{x.dtype.itemsize}").astype(np.uint64)
     bits = x.dtype.itemsize * 8
-    if np.issubdtype(x.dtype, np.floating):
+    # ml_dtypes floats fail np.issubdtype(…, np.floating): bfloat16/float8_e4m3fn
+    # report numpy kind 'V', float8_e5m2 kind 'f' without being a np.floating
+    # subclass — without this check they would fall through to the
+    # unsigned-identity branch and mis-order every negative value
+    is_float = x.dtype.kind == "f" or ("float" in x.dtype.name
+                                       and x.dtype.kind == "V")
+    if is_float:
         sign = b >> np.uint64(bits - 1)
         return np.where(sign == 1, (~b) & np.uint64((1 << bits) - 1),
                         b | np.uint64(1 << (bits - 1)))

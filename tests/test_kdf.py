@@ -25,14 +25,16 @@ def _lex(words):
 
 
 INT_DTYPES = ["uint8", "uint16", "uint32", "int8", "int16", "int32"]
-FLOAT_DTYPES = ["float32", "float16", "bfloat16"]
+FLOAT_DTYPES = ["float32", "float16", "bfloat16", "float8_e4m3fn", "float8_e5m2"]
+_ML_FLOATS = {"bfloat16": 16, "float8_e4m3fn": 8, "float8_e5m2": 8}
 
 
 def _random_values(rng, dtype, n=4096):
-    d = np.dtype(dtype) if dtype != "bfloat16" else None
-    if dtype == "bfloat16":
-        raw = rng.integers(0, 1 << 16, size=n, dtype=np.uint16)
-        return jnp.asarray(raw).view(jnp.bfloat16)
+    d = np.dtype(dtype) if dtype not in _ML_FLOATS else None
+    if dtype in _ML_FLOATS:
+        bits = _ML_FLOATS[dtype]
+        raw = rng.integers(0, 1 << bits, size=n, dtype=np.dtype(f"uint{bits}"))
+        return jnp.asarray(raw).view(jnp.dtype(dtype))
     if d.kind == "f":
         raw = rng.integers(0, 1 << (8 * d.itemsize), size=n,
                            dtype=np.dtype(f"u{d.itemsize}"))
@@ -68,6 +70,19 @@ def test_monotone_ints(rng, dtype):
     xs = np.sort(np.asarray(x))
     k = _lex(kdf.encode(jnp.asarray(xs)))
     assert np.all(k[:-1] <= k[1:])
+
+
+@pytest.mark.parametrize("dtype", FLOAT_DTYPES)
+def test_monotone_floats_random_bits(rng, dtype):
+    # every float dtype (incl. the 8-bit ML dtypes): sorting by derived key
+    # must order the finite values by float value (NaNs sort to the ends of
+    # the KDF total order; dropping them preserves the finite subsequence)
+    x = _random_values(rng, dtype)
+    k = np.asarray(_lex(kdf.encode(x)))
+    order = np.argsort(k, kind="stable")
+    f = np.asarray(x).astype(np.float32)[order]
+    fin = f[~np.isnan(f)]
+    assert np.all(fin[:-1] <= fin[1:])
 
 
 @pytest.mark.parametrize("dtype", ["float32"])

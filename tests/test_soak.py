@@ -18,15 +18,24 @@ pytestmark = pytest.mark.skipif(os.environ.get("RST_SOAK") != "1",
                                 reason="set RST_SOAK=1 to run the soak suite")
 
 _DTYPES = [np.uint8, np.uint16, np.uint32, np.uint64, np.int8, np.int16,
-           np.int32, np.int64, np.float16, np.float32, np.float64]
+           np.int32, np.int64, np.float16, np.float32, np.float64,
+           jnp.bfloat16, jnp.float8_e4m3fn, jnp.float8_e5m2]
+
+
+def _is_float(dtype) -> bool:
+    # ml_dtypes floats fail np.issubdtype(…, np.floating): bfloat16 and
+    # float8_e4m3fn report numpy kind 'V', float8_e5m2 kind 'f' but is not a
+    # np.floating subclass — same pitfall as the api._static_live_mask bug
+    d = np.dtype(dtype)
+    return d.kind == "f" or ("float" in d.name and d.kind == "V")
 
 
 def _gen(r, dtype, n):
-    if np.issubdtype(dtype, np.floating):
+    if _is_float(dtype):
         from jax import lax
         raw = r.integers(0, 1 << (8 * np.dtype(dtype).itemsize), size=n,
                          dtype=np.dtype(f"u{np.dtype(dtype).itemsize}"))
-        x = raw.view(dtype)
+        x = raw.view(np.dtype(dtype))
         if np.dtype(dtype).itemsize == 8:
             return x  # stays numpy: jnp.asarray would downcast without x64
         # canonicalize through one device bitcast: the TPU backend rewrites
@@ -55,12 +64,12 @@ def test_soak_sort_and_rank(seed):
     order = np.argsort(np.where(descending, ~k, k), kind="stable")
     oracle = x[order]
 
-    out = np.asarray(rst.sort(x if dtype().itemsize == 8 else jnp.asarray(x),
+    out = np.asarray(rst.sort(x if np.dtype(dtype).itemsize == 8 else jnp.asarray(x),
                               config=cfg), dtype=dtype)
     assert np.array_equal(out.view(f"u{x.dtype.itemsize}"),
                           oracle.view(f"u{x.dtype.itemsize}")), (seed, dtype, n)
 
-    perm = np.asarray(rst.argsort(x if dtype().itemsize == 8 else jnp.asarray(x),
+    perm = np.asarray(rst.argsort(x if np.dtype(dtype).itemsize == 8 else jnp.asarray(x),
                                   config=cfg))
     assert np.array_equal(perm, order.astype(np.uint32)), (seed, dtype, n)
 

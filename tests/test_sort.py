@@ -70,6 +70,57 @@ def test_random_floats(rng, dtype):
     assert np.array_equal(out, np.sort(x))
 
 
+@pytest.mark.parametrize("dtype", ["float8_e4m3fn", "float8_e5m2"])
+def test_float8_sorts(rng, dtype):
+    # 8-bit ML dtypes: KDF-only extension — all engines sort the derived
+    # 8-bit domain (256-bin counting tier on TPU). Oracle: derived-key order.
+    from radix_sorting_tpu.ops import kdf
+    raw = rng.integers(0, 256, size=30_000, dtype=np.uint8)
+    x = jnp.asarray(raw).view(jnp.dtype(dtype))
+    out = rst.sort(x)
+    kx = np.asarray(kdf.encode(x)[0])
+    ko = np.asarray(kdf.encode(out)[0])
+    assert np.array_equal(np.sort(kx), ko)
+    outd = rst.sort(x, config=rst.SortConfig(descending=True))
+    kd = np.asarray(kdf.encode(outd)[0])
+    assert np.array_equal(np.sort(kx)[::-1], kd)
+    # argsort is the stable permutation of the derived order
+    perm = np.asarray(rst.argsort(x))
+    assert verify.is_permutation(perm)
+    assert np.array_equal(kx[perm], np.sort(kx))
+
+
+def test_bfloat16_takes_counting_path():
+    # regression: ml_dtypes floats report numpy dtype kind 'V'; the static
+    # live-mask check keyed on numpy kind, so bf16 never reached the counting
+    # fast path (f16 did). The derived 16-bit domain must qualify.
+    from radix_sorting_tpu import api
+    from radix_sorting_tpu.config import SortConfig
+    x = jnp.asarray(np.arange(64, dtype=np.uint16)).view(jnp.bfloat16)
+    words, dt = api._as_words(x, False)
+    assert api._static_live_mask(words, None, dt, SortConfig()) == (0xFFFF,)
+
+
+def test_bfloat16_masked_negatives_correct(rng):
+    # regression: the same numpy-kind miss skipped the float sign-bit guard,
+    # returning a WRONG positional mask for masked bf16 admitting negatives
+    # (the float KDF inverts all bits of negative keys, so liveness spreads
+    # beyond the masked positions; the counting path then corrupted values)
+    mask = 0xFF80  # sign bit live
+    raw = (rng.integers(0, 1 << 16, size=20_000, dtype=np.uint16)
+           & np.uint16(mask))
+    x = jnp.asarray(raw).view(jnp.bfloat16)
+    from radix_sorting_tpu import api
+    from radix_sorting_tpu.config import SortConfig
+    words, dt = api._as_words(x, False)
+    assert api._static_live_mask(words, mask, dt, SortConfig()) is None
+    out = rst.sort(x, value_mask=mask)
+    from radix_sorting_tpu.ops import kdf
+    kx = np.asarray(kdf.encode(x)[0])
+    ko = np.asarray(kdf.encode(out)[0])
+    assert np.array_equal(np.sort(kx), ko)
+
+
 @pytest.mark.parametrize("strategy", STRATEGIES)
 def test_degenerate_inputs(rng, strategy):
     cfg = rst.SortConfig(strategy=strategy)
