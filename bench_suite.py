@@ -117,6 +117,24 @@ def main() -> int:
         (s,) = counting_engine.sort_words_counting((w,), (0xFFFF,))
         return s
 
+    def bf16_sort(a):
+        # bfloat16 derived keys are a dense 16-bit domain -> windowed counting
+        # tier (the route the round-3 ml_dtypes kind fix enabled). Takes RAW
+        # u16 bits (the steady-state scramble chain needs an integer input)
+        # and bitcasts in-graph — free under fusion.
+        from jax import lax
+        (w,) = kdf.encode(lax.bitcast_convert_type(a, jnp.bfloat16))
+        (s,) = counting_engine.sort_words_counting((w,), (0xFFFF,))
+        return s
+
+    def f8_sort(a):
+        # float8 derived keys are a dense 8-bit domain -> 256-bin counting
+        from jax import lax
+        (w,) = kdf.encode(
+            lax.bitcast_convert_type(a, jnp.dtype("float8_e4m3fn")))
+        (s,) = counting_engine.sort_words_counting((w,), (0xFF,))
+        return s
+
     def pairs_sort(a):
         # stable record sort: key + one u32 payload plane riding the sorter
         (w,) = kdf.encode(a)
@@ -158,6 +176,10 @@ def main() -> int:
             masked13_sort, lambda n: jnp.asarray(keys[:n] & np.uint32(mask13))),
         "counting_u16_windowed": (
             u16_sort, lambda n: jnp.asarray(keys[:n].astype(np.uint16))),
+        "counting_bf16_windowed": (
+            bf16_sort, lambda n: jnp.asarray(keys[:n].astype(np.uint16))),
+        "counting_f8_256bin": (
+            f8_sort, lambda n: jnp.asarray(keys[:n].astype(np.uint8))),
         "jnp_sort_baseline": (jnp.sort, lambda n: jnp.asarray(keys[:n])),
         "batched_rows_4096": (
             batched_sort,

@@ -28,6 +28,7 @@ from .config import DEFAULT_CONFIG, SortConfig, Strategy
 from .extras import (
     lexsort,
     merge_sorted,
+    searchsorted,
     nth_element,
     stable_partition,
     value_counts,
@@ -54,6 +55,7 @@ __all__ = [
     "bitmap_unique_sort",
     "lexsort",
     "merge_sorted",
+    "searchsorted",
     "nth_element",
     "stable_partition",
     "value_counts",

@@ -19,7 +19,7 @@ from .config import DEFAULT_CONFIG, SortConfig
 from .ops import hw_engine, kdf
 
 __all__ = ["lexsort", "unique_sorted", "segmented_sort", "segmented_argsort",
-           "top_k_batched",
+           "top_k_batched", "searchsorted",
            "top_k", "merge_sorted", "nth_element", "stable_partition",
            "value_counts"]
 
@@ -288,6 +288,63 @@ def merge_sorted(a, b, *, config: SortConfig = DEFAULT_CONFIG):
     words, dtype = _as_words(cat, config.descending)
     sw, _ = hw_engine.sort_words(tuple(words), (), stable=False)
     return _decode(tuple(sw), dtype, config.descending)
+
+
+def searchsorted(sorted_keys, queries, *, side: str = "left",
+                 config: SortConfig = DEFAULT_CONFIG):
+    """Insertion positions of ``queries`` into a sorted array (``np.searchsorted``).
+
+    Positions are under the KDF total order (floats with NaN/±0 place
+    consistently with this framework's sorts; ``config.descending`` searches
+    a descending-sorted array). ``sorted_keys`` must already be sorted in
+    that order — a precondition, not verified (like numpy's).
+
+    TPU design: single-word (<= 32-bit) keys binary-search the encoded
+    plane via ``jnp.searchsorted`` — no data-dependent shapes, XLA lowers
+    it as a fused compare ladder. Two-word (64-bit) keys have no
+    lexicographic binary search, so they run ONE unstable sort of the
+    tagged union plus an inverse-permutation sort — on this hardware the
+    oblivious sorter beats per-element gather chains regardless (measured:
+    gather ~70-110 M elem/s vs the sorter's ~540 M keys/s; ROADMAP).
+
+    Returns an int32 array of ``len(queries)`` positions in ``[0, n]``.
+    """
+    if side not in ("left", "right"):
+        raise ValueError(f"side must be 'left' or 'right', got {side!r}")
+    sw, sd = _as_words(sorted_keys, config.descending)
+    qw, qd = _as_words(queries, config.descending)
+    if jnp.dtype(sd) != jnp.dtype(qd):
+        raise TypeError(
+            f"searchsorted inputs must share a dtype, got {sd} and {qd}")
+    n = int(sw[0].shape[0])
+    q = int(qw[0].shape[0])
+    if q == 0:
+        return jnp.zeros((0,), jnp.int32)
+    if n == 0:
+        return jnp.zeros((q,), jnp.int32)
+
+    if len(sw) == 1:
+        return jnp.searchsorted(sw[0], qw[0], side=side).astype(jnp.int32)
+
+    # 64-bit keys: tagged-union sort. At equal (hi, lo), side='left' places
+    # queries BEFORE sorted elements (their equals are not counted),
+    # side='right' after (counted) — the flag plane encodes exactly that.
+    flag_s = jnp.full((n,), 1 if side == "left" else 0, jnp.uint32)
+    flag_q = jnp.full((q,), 0 if side == "left" else 1, jnp.uint32)
+    words = tuple(jnp.concatenate([s, w]) for s, w in zip(sw, qw))
+    flags = jnp.concatenate([flag_s, flag_q])
+    idx = jnp.arange(n + q, dtype=jnp.uint32)
+    (_, _, _, sidx), _ = hw_engine.sort_words(words + (flags, idx), (),
+                                              stable=False)
+    is_sorted_elem = (sidx < n).astype(jnp.int32)
+    before = jnp.cumsum(is_sorted_elem) - is_sorted_elem  # exclusive count
+    # restore original query order: one inverse-permutation sort on sidx
+    # (strictly unique keys carrying the counts as payload — the engine's
+    # payload path requires the stable sorter, which unique keys make
+    # observationally identical), then the query tail is original-ordered
+    _, (restored,) = hw_engine.sort_words(
+        (sidx,), (before.astype(jnp.uint32),), stable=True)
+    return restored[n:].astype(jnp.int32)
 
 
 def stable_partition(pred, values):

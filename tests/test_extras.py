@@ -279,3 +279,72 @@ def test_segmented_sort_wide_dtypes_unpacked(rng):
     order = np.lexsort((k, seg))
     assert np.array_equal(np.asarray(sid), seg[order])
     assert np.array_equal(np.asarray(sk), k[order])
+
+
+# ---------------------------------------------------------------------------
+# searchsorted
+
+
+@pytest.mark.parametrize("side", ["left", "right"])
+def test_searchsorted_u32(rng, side):
+    from radix_sorting_tpu.extras import searchsorted
+    a = np.sort(rng.integers(0, 1000, size=20_000, dtype=np.uint32))
+    v = rng.integers(0, 1000, size=5_000, dtype=np.uint32)
+    got = np.asarray(searchsorted(jnp.asarray(a), jnp.asarray(v), side=side))
+    assert np.array_equal(got, np.searchsorted(a, v, side=side))
+
+
+@pytest.mark.parametrize("side", ["left", "right"])
+def test_searchsorted_f32_specials(side):
+    from radix_sorting_tpu.extras import searchsorted
+    from oracles import kdf_key
+    a = np.array([-np.inf, -2.0, -0.0, 0.0, 1.5, 1.5, np.inf, np.nan],
+                 np.float32)
+    v = np.array([np.nan, -np.nan, 1.5, 0.0, -0.0, 3.0, -np.inf], np.float32)
+    got = np.asarray(searchsorted(jnp.asarray(a), jnp.asarray(v), side=side))
+    expect = np.searchsorted(kdf_key(a), kdf_key(v), side=side)
+    assert np.array_equal(got, expect)
+
+
+@pytest.mark.parametrize("side", ["left", "right"])
+def test_searchsorted_u64_two_word(rng, side):
+    from radix_sorting_tpu.extras import searchsorted
+    # duplicates + values straddling the 32-bit plane boundary
+    base = rng.integers(0, 1 << 64, size=3_000, dtype=np.uint64)
+    a = np.sort(np.concatenate([base, base[:500]]))
+    v = np.concatenate([base[::3], rng.integers(0, 1 << 64, size=1_000,
+                                                dtype=np.uint64)])
+    got = np.asarray(searchsorted(a, v, side=side))
+    assert np.array_equal(got, np.searchsorted(a, v, side=side))
+
+
+def test_searchsorted_descending(rng):
+    from radix_sorting_tpu.extras import searchsorted
+    from oracles import kdf_key
+    a = np.sort(rng.integers(0, 100, size=5_000, dtype=np.uint32))[::-1].copy()
+    v = rng.integers(0, 100, size=1_000, dtype=np.uint32)
+    cfg = rst.SortConfig(descending=True)
+    got = np.asarray(searchsorted(jnp.asarray(a), jnp.asarray(v), config=cfg))
+    ks = (~kdf_key(a)) & np.uint64(0xFFFFFFFF)
+    kv = (~kdf_key(v)) & np.uint64(0xFFFFFFFF)
+    assert np.array_equal(got, np.searchsorted(ks, kv, side="left"))
+
+
+def test_searchsorted_edges(rng):
+    from radix_sorting_tpu.extras import searchsorted
+    a = np.array([5, 5, 5], np.uint32)
+    assert np.asarray(searchsorted(jnp.asarray(a),
+                                   jnp.asarray(np.array([4, 5, 6], np.uint32)),
+                                   side="left")).tolist() == [0, 0, 3]
+    assert np.asarray(searchsorted(jnp.asarray(a),
+                                   jnp.asarray(np.array([4, 5, 6], np.uint32)),
+                                   side="right")).tolist() == [0, 3, 3]
+    # empty queries / empty array
+    assert searchsorted(jnp.asarray(a), jnp.zeros((0,), jnp.uint32)).shape == (0,)
+    out = searchsorted(jnp.zeros((0,), jnp.uint32),
+                       jnp.asarray(np.array([1], np.uint32)))
+    assert np.asarray(out).tolist() == [0]
+    with pytest.raises(ValueError):
+        searchsorted(jnp.asarray(a), jnp.asarray(a), side="middle")
+    with pytest.raises(TypeError):
+        searchsorted(jnp.asarray(a), jnp.asarray(a).astype(jnp.int32))
