@@ -129,6 +129,26 @@ def main() -> int:
     out = np.asarray(merge_sorted(jnp.asarray(a), jnp.asarray(b)))
     check("merge_sorted", np.array_equal(out, np.sort(x)))
 
+    # searchsorted: binary-search (u32) + tagged-union (u64) formulations
+    from radix_sorting_tpu.extras import searchsorted
+    q = x[: max(4, n // 8)]
+    got = np.asarray(searchsorted(jnp.asarray(a), jnp.asarray(q), side="right"))
+    check("searchsorted u32", np.array_equal(got, np.searchsorted(a, q, side="right")))
+    a64 = np.sort(x64)
+    q64 = x64[: max(4, x64.size // 8)]
+    got = np.asarray(searchsorted(a64, q64))
+    check("searchsorted u64 (union sort)",
+          np.array_equal(got, np.searchsorted(a64, q64)))
+
+    # float8 keys: KDF-only extension riding the 256-bin counting tier
+    from radix_sorting_tpu.ops import kdf
+    f8 = jnp.asarray((x & np.uint32(0xFF)).astype(np.uint8)).view(
+        jnp.dtype("float8_e4m3fn"))
+    sf8 = rst.sort(f8)
+    kx = np.asarray(kdf.encode(f8)[0])
+    check("float8 sort (counting tier)",
+          np.array_equal(np.asarray(kdf.encode(sf8)[0]), np.sort(kx)))
+
     mesh = make_sort_mesh(1)
     sp, counts, ovf = distributed_sort_balanced_u32(xj, mesh)
     check("distributed balanced (1-chip mesh)",
