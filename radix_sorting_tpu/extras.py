@@ -291,6 +291,7 @@ def merge_sorted(a, b, *, config: SortConfig = DEFAULT_CONFIG):
 
 
 def searchsorted(sorted_keys, queries, *, side: str = "left",
+                 method: str = "auto",
                  config: SortConfig = DEFAULT_CONFIG):
     """Insertion positions of ``queries`` into a sorted array (``np.searchsorted``).
 
@@ -299,18 +300,25 @@ def searchsorted(sorted_keys, queries, *, side: str = "left",
     a descending-sorted array). ``sorted_keys`` must already be sorted in
     that order — a precondition, not verified (like numpy's).
 
-    TPU design: single-word (<= 32-bit) keys binary-search the encoded
-    plane via ``jnp.searchsorted`` — no data-dependent shapes, XLA lowers
-    it as a fused compare ladder. Two-word (64-bit) keys have no
-    lexicographic binary search, so they run ONE unstable sort of the
-    tagged union plus an inverse-permutation sort — on this hardware the
-    oblivious sorter beats per-element gather chains regardless (measured:
-    gather ~70-110 M elem/s vs the sorter's ~540 M keys/s; ROADMAP).
+    TPU design: two-word (64-bit) keys have no lexicographic binary search,
+    so they always run ONE unstable sort of the tagged union plus an
+    inverse-permutation sort — on this hardware the oblivious sorter beats
+    per-element gather chains regardless (measured: gather ~70-110 M elem/s
+    vs the sorter's ~540 M keys/s; ROADMAP). Single-word (<= 32-bit) keys
+    pick by ``method``: ``'scan'`` / ``'scan_unrolled'`` / ``'compare_all'``
+    / ``'sort'`` pass through to ``jnp.searchsorted`` on the encoded plane;
+    ``'auto'`` picks ``'sort'`` on the TPU backend (a scan is log2(n)
+    SERIAL rounds, each gathering q midpoints — dead by the same gather
+    ratio) and ``'scan'`` elsewhere (CPU binary search is fine). Re-probe
+    on new parts: ``scripts/exp_searchsorted.py``.
 
     Returns an int32 array of ``len(queries)`` positions in ``[0, n]``.
     """
     if side not in ("left", "right"):
         raise ValueError(f"side must be 'left' or 'right', got {side!r}")
+    _METHODS = ("auto", "scan", "scan_unrolled", "compare_all", "sort")
+    if method not in _METHODS:
+        raise ValueError(f"method must be one of {_METHODS}, got {method!r}")
     sw, sd = _as_words(sorted_keys, config.descending)
     qw, qd = _as_words(queries, config.descending)
     if jnp.dtype(sd) != jnp.dtype(qd):
@@ -324,7 +332,10 @@ def searchsorted(sorted_keys, queries, *, side: str = "left",
         return jnp.zeros((q,), jnp.int32)
 
     if len(sw) == 1:
-        return jnp.searchsorted(sw[0], qw[0], side=side).astype(jnp.int32)
+        if method == "auto":
+            method = "sort" if jax.default_backend() == "tpu" else "scan"
+        return jnp.searchsorted(sw[0], qw[0], side=side,
+                                method=method).astype(jnp.int32)
 
     # 64-bit keys: tagged-union sort. At equal (hi, lo), side='left' places
     # queries BEFORE sorted elements (their equals are not counted),

@@ -1,0 +1,83 @@
+"""On-chip searchsorted method probe: scan vs sort formulations.
+
+Measures what `extras.searchsorted`'s method='auto' should pick on this
+part (the CPU default is 'scan'; the TPU default is 'sort' by the gather
+RATIO argument — a binary-search scan is log2(n) SERIAL rounds, each
+gathering q midpoints, and gather measures ~70-110 M elem/s here vs the
+sorter's ~540 M keys/s). This script turns the ratio argument into a
+number whenever a healthy TPU window is available.
+
+Run:  PYTHONPATH="/root/.axon_site:/root/repo" python scripts/exp_searchsorted.py
+
+Prints one JSON line per case; paste the table into ROADMAP when the
+default changes or a new part appears.
+"""
+
+import json
+import sys
+
+import numpy as np
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from radix_sorting_tpu.utils.timing import steady_chain_ms
+
+    n = 40_000_000
+    rng = np.random.default_rng(0x5EA7C4)
+    s = jnp.asarray(np.sort(rng.integers(0, 1 << 32, size=n, dtype=np.uint32)))
+    print(json.dumps({"device": str(jax.devices()[0]), "n_sorted": n}))
+
+    for q in (100_000, 4_000_000, 40_000_000):
+        queries = jnp.asarray(rng.integers(0, 1 << 32, size=q, dtype=np.uint32))
+        for method in ("scan", "scan_unrolled", "compare_all", "sort"):
+            if method == "compare_all" and n > 1_000_000:
+                continue  # O(n*q) compares — only feasible at tiny n
+            def fn(c, aux, m=method):
+                return jnp.searchsorted(aux, c, method=m).astype(jnp.uint32)
+            try:
+                ms = steady_chain_ms(fn, queries, reps=5, aux=s)
+            except Exception as e:  # scan_unrolled can blow compile memory
+                print(json.dumps({"q": q, "method": method,
+                                  "error": type(e).__name__}))
+                continue
+            print(json.dumps({"q": q, "method": method, "ms": round(ms, 2),
+                              "Mqueries_per_s": round(q / ms / 1e3, 1)}))
+
+    # the 64-bit tagged-union formulation (extras.searchsorted two-word path),
+    # words-level so the scramble chain drives the query lo plane
+    from radix_sorting_tpu.ops import hw_engine
+
+    s64 = np.sort(rng.integers(0, 1 << 64, size=n // 2, dtype=np.uint64))
+    s_hi = jnp.asarray((s64 >> np.uint64(32)).astype(np.uint32))
+    s_lo = jnp.asarray(s64.astype(np.uint32))
+    for q in (4_000_000, 20_000_000):
+        q_hi = jnp.asarray(rng.integers(0, 1 << 32, size=q, dtype=np.uint32))
+        q_lo = jnp.asarray(rng.integers(0, 1 << 32, size=q, dtype=np.uint32))
+        nn = n // 2
+
+        def union_fn(c, aux):
+            sh, sl, qh = aux
+            flag_s = jnp.zeros((nn,), jnp.uint32)
+            flag_q = jnp.ones((c.shape[0],), jnp.uint32)
+            words = (jnp.concatenate([sh, qh]), jnp.concatenate([sl, c]),
+                     jnp.concatenate([flag_s, flag_q]),
+                     jnp.arange(nn + c.shape[0], dtype=jnp.uint32))
+            (_, _, _, sidx), _ = hw_engine.sort_words(words, (), stable=False)
+            is_s = (sidx < nn).astype(jnp.int32)
+            before = jnp.cumsum(is_s) - is_s
+            _, (restored,) = hw_engine.sort_words(
+                (sidx,), (before.astype(jnp.uint32),), stable=True)
+            return restored[nn:]
+
+        ms = steady_chain_ms(union_fn, q_lo, reps=5, aux=(s_hi, s_lo, q_hi))
+        print(json.dumps({"q": q, "method": "union_sort_u64", "n_sorted": nn,
+                          "ms": round(ms, 2),
+                          "Mqueries_per_s": round(q / ms / 1e3, 1)}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -348,3 +348,21 @@ def test_searchsorted_edges(rng):
         searchsorted(jnp.asarray(a), jnp.asarray(a), side="middle")
     with pytest.raises(TypeError):
         searchsorted(jnp.asarray(a), jnp.asarray(a).astype(jnp.int32))
+
+
+@pytest.mark.parametrize("method", ["auto", "scan", "scan_unrolled", "sort",
+                                    "compare_all"])
+def test_searchsorted_methods_agree(rng, method):
+    from radix_sorting_tpu.extras import searchsorted
+    a = np.sort(rng.integers(0, 500, size=4_000, dtype=np.uint32))
+    v = rng.integers(0, 500, size=1_500, dtype=np.uint32)
+    got = np.asarray(searchsorted(jnp.asarray(a), jnp.asarray(v),
+                                  side="right", method=method))
+    assert np.array_equal(got, np.searchsorted(a, v, side="right"))
+
+
+def test_searchsorted_bad_method(rng):
+    from radix_sorting_tpu.extras import searchsorted
+    a = jnp.asarray(np.arange(4, dtype=np.uint32))
+    with pytest.raises(ValueError):
+        searchsorted(a, a, method="bisect")
