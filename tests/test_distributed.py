@@ -321,3 +321,20 @@ def test_global_histogram_pass_index_validated(rng, mesh):
     x = jnp.asarray(rng.integers(0, 1 << 32, size=1 << 12, dtype=np.uint32))
     with pytest.raises(ValueError, match="pass_index"):
         global_digit_histogram(x, mesh, pass_index=4)
+
+
+@pytest.mark.parametrize("dtype", ["bfloat16", "float8_e4m3fn"])
+def test_distributed_sort_ml_dtypes(rng, mesh, dtype):
+    # the "any dtype" claim must cover ml_dtypes keys (encode-based
+    # genericity; numpy-kind dispatch would misroute them — round-3 fix)
+    from radix_sorting_tpu.parallel import distributed_sort
+    from radix_sorting_tpu.ops import kdf
+    bits = 16 if dtype == "bfloat16" else 8
+    raw = rng.integers(0, 1 << bits, size=20_000,
+                       dtype=np.dtype(f"uint{bits}"))
+    x = jnp.asarray(raw).view(jnp.dtype(dtype))
+    out = distributed_sort(x, mesh)
+    res = gather_sorted(*out) if isinstance(out, tuple) else out
+    k = np.asarray(kdf.encode(x)[0])
+    kr = np.asarray(kdf.encode(jnp.asarray(res))[0])
+    assert np.array_equal(np.sort(k), kr)
