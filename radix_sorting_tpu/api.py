@@ -153,6 +153,10 @@ def _validate_value_mask(x, dtype, value_mask: int) -> None:
     if isinstance(x, np.ndarray):
         bits_or = int(np.bitwise_or.reduce(
             np.ascontiguousarray(x).view(f"u{x.dtype.itemsize}")))
+    elif kdf.key_bits(dtype) < 8:
+        # sub-byte dtypes have no byte view; raw bits via a same-width bitcast
+        raw = lax.bitcast_convert_type(jnp.asarray(x), jnp.uint4)
+        bits_or = int(jnp.bitwise_or.reduce(raw.astype(jnp.uint32)))
     elif jnp.dtype(x.dtype).itemsize <= 4:
         raw = jnp.asarray(x).view(jnp.dtype(f"uint{jnp.dtype(x.dtype).itemsize * 8}"))
         bits_or = int(jnp.bitwise_or.reduce(raw.astype(jnp.uint32)))
@@ -162,7 +166,7 @@ def _validate_value_mask(x, dtype, value_mask: int) -> None:
         v = lax.bitcast_convert_type(jnp.asarray(x), jnp.uint32)  # (..., 2)
         bits_or = (int(jnp.bitwise_or.reduce(v[..., 1].ravel())) << 32) \
             | int(jnp.bitwise_or.reduce(v[..., 0].ravel()))
-    width_mask = (1 << (jnp.dtype(dtype).itemsize * 8)) - 1
+    width_mask = (1 << kdf.key_bits(dtype)) - 1
     stray = bits_or & ~int(value_mask) & width_mask
     if stray:
         raise ValueError(
@@ -201,7 +205,7 @@ def _static_live_mask(words, value_mask, dtype, cfg: SortConfig) -> Optional[Tup
     reference's mask knob covers every key width, so 64-bit keys participate
     too: their masks split into (hi, lo) plane masks.
     """
-    bits = jnp.dtype(dtype).itemsize * 8
+    bits = kdf.key_bits(dtype)   # LOGICAL width (4 for int4/uint4)
     # kdf.kind, NOT numpy's dtype.kind: ml_dtypes floats (bfloat16, float8_*)
     # report numpy kind 'V', which (a) dropped bfloat16 off the counting fast
     # path entirely and (b) skipped the negative-admitting-mask guard below,

@@ -71,8 +71,13 @@ SUPPORTED_DTYPES = (
     "float8_e4m3fn", "float8_e5m2",  # beyond-reference: the TPU ML dtypes —
     # the same sign-mangle rule at 8-bit width; an 8-bit derived domain rides
     # the 256-bin counting tier, so f8 tensors sort at histogram speed
+    "int4", "uint4",  # beyond-reference: quantization dtypes — a 16-bin
+    # counting domain (identity / sign-flip at 4-bit width)
     "bool",  # beyond-reference: argsort(bool) is a stable partition
 )
+
+# dtypes whose LOGICAL width differs from their byte-backed storage width
+_SUB_BYTE_BITS = {"int4": 4, "uint4": 4}
 
 
 def _canonical_dtype(dtype) -> np.dtype:
@@ -95,9 +100,10 @@ def kind(dtype) -> str:
 
 
 def key_bits(dtype) -> int:
-    """Width of the key type in bits."""
+    """LOGICAL width of the key type in bits (4 for the sub-byte int4/uint4,
+    whose jnp storage is byte-backed)."""
     d = _canonical_dtype(dtype)
-    return d.itemsize * 8
+    return _SUB_BYTE_BITS.get(d.name, d.itemsize * 8)
 
 
 def num_words(dtype) -> int:
@@ -219,7 +225,7 @@ def encode(x: jax.Array, descending: bool = False) -> Tuple[jax.Array, ...]:
     reference's ``~kdf`` wrappers (`radix_tests.cpp:111-113,175-177`).
     """
     d = _canonical_dtype(x.dtype)
-    bits = d.itemsize * 8
+    bits = key_bits(d)
     k = kind(d)
 
     if bits == 64:
@@ -267,7 +273,7 @@ def encode(x: jax.Array, descending: bool = False) -> Tuple[jax.Array, ...]:
 def decode(words: Sequence[jax.Array], dtype, descending: bool = False) -> jax.Array:
     """Inverse of :func:`encode`: recover original key values from derived words."""
     d = _canonical_dtype(dtype)
-    bits = d.itemsize * 8
+    bits = key_bits(d)
     k = kind(d)
 
     if descending:

@@ -366,3 +366,25 @@ def test_sort_lsd_masked_u64_compaction_route(rng):
     cfg = rst.SortConfig(strategy=rst.Strategy.LSD)
     out = np.asarray(rst.sort(x, config=cfg, value_mask=mask), dtype=np.uint64)
     assert np.array_equal(out, np.sort(x))
+
+
+@pytest.mark.parametrize("dtype", ["int4", "uint4"])
+def test_int4_sorts(rng, dtype):
+    # sub-byte quantization dtypes: logical 4-bit width (kdf.key_bits),
+    # 16-bin counting domain; storage is byte-backed in jnp
+    d = jnp.dtype(dtype)
+    lo = -8 if dtype == "int4" else 0
+    x = jnp.asarray(rng.integers(lo, lo + 16, size=20_000,
+                                 dtype=np.int8)).astype(d)
+    xi = np.asarray(x.astype(jnp.int32))
+    out = rst.sort(x)
+    assert np.array_equal(np.asarray(out.astype(jnp.int32)), np.sort(xi))
+    outd = rst.sort(x, config=rst.SortConfig(descending=True))
+    assert np.array_equal(np.asarray(outd.astype(jnp.int32)), np.sort(xi)[::-1])
+    perm = np.asarray(rst.argsort(x))
+    assert np.array_equal(perm, np.argsort(xi, kind="stable"))
+    # logical-width metadata + value_mask validation at 4 bits
+    from radix_sorting_tpu.ops import kdf
+    assert kdf.key_bits(d) == 4 and kdf.num_words(d) == 1
+    with pytest.raises(ValueError):
+        rst.sort(x, value_mask=0x3, validate_mask=True)
