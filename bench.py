@@ -44,6 +44,26 @@ def main() -> int:
     keys = keyfile.generate_keys(n)
     x = jnp.asarray(keys)
 
+    # Degraded-window guard: the shared slice has windows where the 74 ms
+    # sorter reads 10-25x slow (ROADMAP "measurement hygiene"). A number
+    # recorded inside one is meaningless, so gate the measurement on a tiny
+    # canary — the 4M sorter steady (healthy < 20 ms; threshold 30 ms allows
+    # tenancy jitter) — and wait out up to ~3 minutes of degradation before
+    # proceeding regardless (the canary is recorded either way).
+    xc = x[: 1 << 22]
+    canary = jax.jit(lambda v: lax.fori_loop(
+        0, 10, lambda i, c: lax.sort(c) * np.uint32(2654435761)
+        + (c[-1] & np.uint32(1)), v))
+    np.asarray(canary(xc)[-1:])  # compile + warm
+    canary_ms = None
+    for attempt in range(4):
+        t0 = time.perf_counter()
+        np.asarray(canary(xc)[-1:])
+        canary_ms = (time.perf_counter() - t0) / 10 * 1e3
+        if canary_ms < 30.0 or attempt == 3:
+            break
+        time.sleep(60)
+
     def sort_once(a):
         # the public keys-only path: KDF encode -> unstable hardware sort
         # (exact for keys-only; see hw_engine.sort_words) -> decode
@@ -148,6 +168,7 @@ def main() -> int:
         "masked_8bit_Mkeys": round(n / dt_masked / 1e6, 1),
         "u16_full_Mkeys": round(n / dt_u16 / 1e6, 1),
         "batched_rows_Mkeys": round(xb.size / dt_batched / 1e6, 1),
+        "canary_4M_ms": round(canary_ms, 2),
         "device": str(jax.devices()[0]),
         "n": n,
     }

@@ -34,9 +34,7 @@ def _word_pairs(words, dtype):
     words = tuple(words)
     if len(words) == 2:
         return [(words[0], 32), (words[1], 32)]
-    width = (np.dtype(dtype) if isinstance(dtype, np.dtype)
-             else jnp.dtype(dtype)).itemsize * 8
-    return [(words[0], min(32, width))]
+    return [(words[0], min(32, kdf.key_bits(dtype)))]
 
 
 def _pack_narrow_words(pairs):
@@ -154,8 +152,17 @@ def _sorted_boundaries(s, size: int):
         return vals, lens, np.int32(k)
     sj = jnp.asarray(s)
     n = int(sj.shape[0])
-    raw = sj.view(jnp.dtype(f"uint{jnp.dtype(sj.dtype).itemsize * 8}")) \
-        if jnp.dtype(sj.dtype).kind not in ("u", "i", "b") else sj
+    # Integer/bool dtypes compare directly (bitwise equality IS value
+    # equality); floats compare on the kdf-encoded plane so NaNs with
+    # distinct payloads stay distinct. kdf.kind, not numpy's dtype.kind:
+    # ml_dtypes report 'V', and a jnp sub-byte (int4) array's uint view is
+    # the PACKED nibble buffer (length n/2) — the round-3 review bug.
+    if kdf.kind(sj.dtype) != "f":
+        raw = sj
+    elif kdf.key_bits(sj.dtype) == 64:
+        raw = sj.view(jnp.uint64)    # x64-mode f64: byte-backed, view is safe
+    else:
+        raw = kdf.encode(sj)[0]
     is_new = jnp.concatenate([jnp.ones((1,), jnp.bool_), raw[1:] != raw[:-1]])
     num_unique = jnp.sum(is_new.astype(jnp.int32))
     starts, = jnp.nonzero(is_new, size=size, fill_value=n)

@@ -9,7 +9,15 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["kdf_key"]
+__all__ = ["kdf_key", "is_float_dtype"]
+
+
+def is_float_dtype(dtype) -> bool:
+    """ml_dtypes-robust float check (the trap docs/NOTES.md §4 records):
+    bfloat16/float8_e4m3fn report numpy kind 'V'; float8_e5m2 reports 'f'
+    without being a np.floating subclass."""
+    d = np.dtype(dtype)
+    return d.kind == "f" or ("float" in d.name and d.kind == "V")
 
 
 def kdf_key(x: np.ndarray) -> np.ndarray:
@@ -22,13 +30,7 @@ def kdf_key(x: np.ndarray) -> np.ndarray:
     """
     b = np.ascontiguousarray(x).view(f"u{x.dtype.itemsize}").astype(np.uint64)
     bits = x.dtype.itemsize * 8
-    # ml_dtypes floats fail np.issubdtype(…, np.floating): bfloat16/float8_e4m3fn
-    # report numpy kind 'V', float8_e5m2 kind 'f' without being a np.floating
-    # subclass — without this check they would fall through to the
-    # unsigned-identity branch and mis-order every negative value
-    is_float = x.dtype.kind == "f" or ("float" in x.dtype.name
-                                       and x.dtype.kind == "V")
-    if is_float:
+    if is_float_dtype(x.dtype):
         sign = b >> np.uint64(bits - 1)
         return np.where(sign == 1, (~b) & np.uint64((1 << bits) - 1),
                         b | np.uint64(1 << (bits - 1)))

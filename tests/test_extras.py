@@ -366,3 +366,23 @@ def test_searchsorted_bad_method(rng):
     a = jnp.asarray(np.arange(4, dtype=np.uint32))
     with pytest.raises(ValueError):
         searchsorted(a, a, method="bisect")
+
+
+@pytest.mark.parametrize("dtype", ["int4", "uint4"])
+def test_unique_sorted_sub_byte(rng, dtype):
+    # regression (round-3 review): a jnp sub-byte array's uint8 view is the
+    # PACKED nibble buffer, so boundary detection ran in packed index space
+    from radix_sorting_tpu.extras import value_counts
+    d = jnp.dtype(dtype)
+    lo = -8 if dtype == "int4" else 0
+    raw = rng.integers(lo, lo + 16, size=5_000, dtype=np.int8)
+    x = jnp.asarray(raw).astype(d)
+    vals, count = unique_sorted(x, size=16)
+    exp = np.unique(raw)
+    assert int(count) == exp.size
+    assert np.array_equal(np.asarray(vals.astype(jnp.int32))[: exp.size], exp)
+    v, c, k = value_counts(x, size=16)
+    assert int(k) == exp.size
+    assert np.array_equal(np.asarray(v.astype(jnp.int32))[: exp.size], exp)
+    assert np.array_equal(np.asarray(c)[: exp.size],
+                          np.unique(raw, return_counts=True)[1])

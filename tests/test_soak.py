@@ -22,16 +22,9 @@ _DTYPES = [np.uint8, np.uint16, np.uint32, np.uint64, np.int8, np.int16,
            jnp.bfloat16, jnp.float8_e4m3fn, jnp.float8_e5m2]
 
 
-def _is_float(dtype) -> bool:
-    # ml_dtypes floats fail np.issubdtype(…, np.floating): bfloat16 and
-    # float8_e4m3fn report numpy kind 'V', float8_e5m2 kind 'f' but is not a
-    # np.floating subclass — same pitfall as the api._static_live_mask bug
-    d = np.dtype(dtype)
-    return d.kind == "f" or ("float" in d.name and d.kind == "V")
-
-
 def _gen(r, dtype, n):
-    if _is_float(dtype):
+    from oracles import is_float_dtype
+    if is_float_dtype(dtype):
         from jax import lax
         raw = r.integers(0, 1 << (8 * np.dtype(dtype).itemsize), size=n,
                          dtype=np.dtype(f"u{np.dtype(dtype).itemsize}"))
