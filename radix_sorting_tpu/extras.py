@@ -346,23 +346,31 @@ def searchsorted(sorted_keys, queries, *, side: str = "left",
 
     # 64-bit keys: tagged-union sort. At equal (hi, lo), side='left' places
     # queries BEFORE sorted elements (their equals are not counted),
-    # side='right' after (counted) — the flag plane encodes exactly that.
-    flag_s = jnp.full((n,), 1 if side == "left" else 0, jnp.uint32)
-    flag_q = jnp.full((q,), 0 if side == "left" else 1, jnp.uint32)
+    # side='right' after (counted). The tie-break is FUSED into the index
+    # plane instead of a separate flag operand (the sorter is measured
+    # operand-width-bound — one fewer operand is a direct win): for 'left'
+    # queries take indices 0..q-1 and sorted elements q..q+n-1, for 'right'
+    # the reverse, so the unique index plane alone orders every tie.
+    if side == "left":
+        idx_q = jnp.arange(q, dtype=jnp.uint32)
+        idx_s = jnp.arange(q, q + n, dtype=jnp.uint32)
+    else:
+        idx_s = jnp.arange(n, dtype=jnp.uint32)
+        idx_q = jnp.arange(n, n + q, dtype=jnp.uint32)
     words = tuple(jnp.concatenate([s, w]) for s, w in zip(sw, qw))
-    flags = jnp.concatenate([flag_s, flag_q])
-    idx = jnp.arange(n + q, dtype=jnp.uint32)
-    (_, _, _, sidx), _ = hw_engine.sort_words(words + (flags, idx), (),
-                                              stable=False)
-    is_sorted_elem = (sidx < n).astype(jnp.int32)
+    idx = jnp.concatenate([idx_s, idx_q])
+    (_, _, sidx), _ = hw_engine.sort_words(words + (idx,), (), stable=False)
+    is_sorted_elem = ((sidx >= q) if side == "left" else (sidx < n))         .astype(jnp.int32)
     before = jnp.cumsum(is_sorted_elem) - is_sorted_elem  # exclusive count
     # restore original query order: one inverse-permutation sort on sidx
     # (strictly unique keys carrying the counts as payload — the engine's
     # payload path requires the stable sorter, which unique keys make
-    # observationally identical), then the query tail is original-ordered
+    # observationally identical); the query block sits at the front
+    # ('left') or back ('right') of the restored order
     _, (restored,) = hw_engine.sort_words(
         (sidx,), (before.astype(jnp.uint32),), stable=True)
-    return restored[n:].astype(jnp.int32)
+    out = restored[:q] if side == "left" else restored[n:]
+    return out.astype(jnp.int32)
 
 
 def stable_partition(pred, values):

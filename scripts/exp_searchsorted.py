@@ -59,18 +59,20 @@ def main() -> int:
         nn = n // 2
 
         def union_fn(c, aux):
+            # side='left' shipped formulation: tie-break fused into the
+            # index plane (3 sort operands, not 4)
             sh, sl, qh = aux
-            flag_s = jnp.zeros((nn,), jnp.uint32)
-            flag_q = jnp.ones((c.shape[0],), jnp.uint32)
-            words = (jnp.concatenate([sh, qh]), jnp.concatenate([sl, c]),
-                     jnp.concatenate([flag_s, flag_q]),
-                     jnp.arange(nn + c.shape[0], dtype=jnp.uint32))
-            (_, _, _, sidx), _ = hw_engine.sort_words(words, (), stable=False)
-            is_s = (sidx < nn).astype(jnp.int32)
+            qn = c.shape[0]
+            words = (jnp.concatenate([sh, qh]), jnp.concatenate([sl, c]))
+            idx = jnp.concatenate([jnp.arange(qn, qn + nn, dtype=jnp.uint32),
+                                   jnp.arange(qn, dtype=jnp.uint32)])
+            (_, _, sidx), _ = hw_engine.sort_words(words + (idx,), (),
+                                                   stable=False)
+            is_s = (sidx >= qn).astype(jnp.int32)
             before = jnp.cumsum(is_s) - is_s
             _, (restored,) = hw_engine.sort_words(
                 (sidx,), (before.astype(jnp.uint32),), stable=True)
-            return restored[nn:]
+            return restored[:qn]
 
         ms = steady_chain_ms(union_fn, q_lo, reps=5, aux=(s_hi, s_lo, q_hi))
         print(json.dumps({"q": q, "method": "union_sort_u64", "n_sorted": nn,
