@@ -26,6 +26,7 @@ from .api import (
 )
 from .config import DEFAULT_CONFIG, SortConfig, Strategy
 from .extras import (
+    bincount,
     lexsort,
     merge_sorted,
     searchsorted,
@@ -56,6 +57,7 @@ __all__ = [
     "lexsort",
     "merge_sorted",
     "searchsorted",
+    "bincount",
     "nth_element",
     "stable_partition",
     "value_counts",

@@ -19,7 +19,7 @@ from .config import DEFAULT_CONFIG, SortConfig
 from .ops import hw_engine, kdf
 
 __all__ = ["lexsort", "unique_sorted", "segmented_sort", "segmented_argsort",
-           "top_k_batched", "searchsorted",
+           "top_k_batched", "searchsorted", "bincount",
            "top_k", "merge_sorted", "nth_element", "stable_partition",
            "value_counts"]
 
@@ -295,6 +295,64 @@ def merge_sorted(a, b, *, config: SortConfig = DEFAULT_CONFIG):
     words, dtype = _as_words(cat, config.descending)
     sw, _ = hw_engine.sort_words(tuple(words), (), stable=False)
     return _decode(tuple(sw), dtype, config.descending)
+
+
+def bincount(x, *, length: Optional[int] = None, validate: bool = False):
+    """Occurrence counts of non-negative integer values (``np.bincount``).
+
+    TPU design: ``jnp.bincount`` lowers to scatter-add, which runs at the
+    measured gather/scatter rate (~80-110 M elem/s on this part — ROADMAP);
+    this routes through the framework's dense histogram machinery instead
+    (factored one-hot on the MXU via Pallas on TPU, compare-reduce on other
+    backends) — the 40M 256-bin histogram measures 13.4 ms (~3 G elem/s),
+    and the dense formulation stays ahead of scatter-add up to ~2^18 bins
+    (bins MXU MACs/element ≈ 2.9 ns at 2^18 vs ~9-12 ns/element scatter).
+    Wider domains fall back to ``jnp.bincount``.
+
+    Precondition (like the counting engines): every value lies in
+    ``[0, length)``. Out-of-range values are silently DROPPED by the dense
+    formulation (numpy raises on negatives instead) — pass ``validate=True``
+    to pay one min/max reduce plus a host sync and get a ValueError.
+
+    ``length`` defaults to the dtype's domain size for narrow unsigned/bool
+    keys and is required otherwise. Returns an int32 array of ``length``.
+    """
+    xa = jnp.asarray(x)
+    if xa.ndim != 1:
+        raise ValueError(f"bincount input must be 1-D, got shape {xa.shape}")
+    k = kdf.kind(xa.dtype)
+    if k == "f":
+        raise TypeError(f"bincount needs integer/bool values, got {xa.dtype}")
+    bits = kdf.key_bits(xa.dtype)
+    if length is None:
+        if k in ("u", "b") and bits <= 16:
+            length = 2 if k == "b" else (1 << bits)
+        else:
+            raise ValueError(
+                f"length is required for {xa.dtype} (domain too wide to default)")
+    length = int(length)
+    if length <= 0:
+        raise ValueError(f"length must be positive, got {length}")
+    w = xa.astype(jnp.uint32)  # negatives wrap out of [0, length): dropped
+    if validate and int(xa.shape[0]):
+        lo = int(jnp.min(w))
+        hi = int(jnp.max(w))
+        if hi >= length or (k == "i" and bool(jnp.any(xa.astype(jnp.int32) < 0))):
+            raise ValueError(
+                f"bincount values outside [0, {length}): min raw {lo}, max raw {hi}")
+    if int(xa.shape[0]) == 0:
+        return jnp.zeros((length,), jnp.int32)
+    from .ops.pallas_kernels import use_tpu_routes
+    if not use_tpu_routes() or length > (1 << 18):
+        # scatter-add is cheap on CPU/GPU, and past ~2^18 bins the dense
+        # formulation's per-element MAC cost crosses the scatter rate
+        return jnp.bincount(w, length=length).astype(jnp.int32)
+    if length >= 4:
+        from .ops.pallas_kernels import histogram_tpu
+        bins = 1 << (length - 1).bit_length()  # kernel wants a power of two
+        return histogram_tpu(w, 0, radix_bits=bins.bit_length() - 1)[:length]
+    from .ops.histogram import digit_histogram
+    return digit_histogram(w, length)
 
 
 def searchsorted(sorted_keys, queries, *, side: str = "left",

@@ -140,6 +140,13 @@ def main() -> int:
     check("searchsorted u64 (union sort)",
           np.array_equal(got, np.searchsorted(a64, q64)))
 
+    # bincount: dense histogram route (np.bincount via the MXU, not scatter)
+    from radix_sorting_tpu.extras import bincount
+    xb8 = (x & np.uint32(0x3FF)).astype(np.uint32)
+    got = np.asarray(bincount(jnp.asarray(xb8), length=1000))
+    check("bincount (dense histogram)",
+          np.array_equal(got, np.bincount(xb8, minlength=1000)[:1000]))
+
     # float8 keys: KDF-only extension riding the 256-bin counting tier
     from radix_sorting_tpu.ops import kdf
     f8 = jnp.asarray((x & np.uint32(0xFF)).astype(np.uint8)).view(

@@ -386,3 +386,45 @@ def test_unique_sorted_sub_byte(rng, dtype):
     assert np.array_equal(np.asarray(v.astype(jnp.int32))[: exp.size], exp)
     assert np.array_equal(np.asarray(c)[: exp.size],
                           np.unique(raw, return_counts=True)[1])
+
+
+# ---------------------------------------------------------------------------
+# bincount
+
+
+def test_bincount_vs_numpy(rng):
+    from radix_sorting_tpu.extras import bincount
+    for x, length in [
+        (rng.integers(0, 256, size=30_000, dtype=np.uint8), None),
+        (rng.integers(0, 1 << 16, size=30_000, dtype=np.uint16), None),
+        (rng.integers(0, 1000, size=30_000, dtype=np.int32), 1000),
+        (rng.integers(0, 3, size=7, dtype=np.uint32), 5),  # trailing empty bins
+    ]:
+        want_len = length or (1 << (8 * x.dtype.itemsize))
+        got = np.asarray(bincount(jnp.asarray(x), length=length))
+        assert got.dtype == np.int32
+        assert np.array_equal(got, np.bincount(x, minlength=want_len))
+
+
+def test_bincount_validate_and_errors(rng):
+    from radix_sorting_tpu.extras import bincount
+    with pytest.raises(ValueError):
+        bincount(jnp.asarray(np.array([-1, 2], np.int32)), length=10,
+                 validate=True)
+    with pytest.raises(ValueError):
+        bincount(jnp.asarray(np.array([11], np.uint32)), length=10,
+                 validate=True)
+    with pytest.raises(ValueError):  # length required for wide dtypes
+        bincount(jnp.asarray(np.array([1], np.uint32)))
+    with pytest.raises(TypeError):
+        bincount(jnp.asarray(np.array([1.0], np.float32)), length=4)
+    with pytest.raises(ValueError):
+        bincount(jnp.asarray(np.zeros((2, 2), np.uint8)))
+    # empty input, bool default length, uint4 domain default
+    assert int(np.asarray(bincount(jnp.zeros((0,), jnp.uint8))).sum()) == 0
+    assert np.asarray(
+        bincount(jnp.asarray(np.array([True, False, True])))).tolist() == [1, 2]
+    x4 = jnp.asarray(rng.integers(0, 16, size=500, dtype=np.int8)).astype(jnp.uint4)
+    got = np.asarray(bincount(x4))
+    assert np.array_equal(
+        got, np.bincount(np.asarray(x4.astype(jnp.int32)), minlength=16))
