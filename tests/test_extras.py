@@ -428,3 +428,22 @@ def test_bincount_validate_and_errors(rng):
     got = np.asarray(bincount(x4))
     assert np.array_equal(
         got, np.bincount(np.asarray(x4.astype(jnp.int32)), minlength=16))
+
+
+def test_lexsort_int4_packing(rng):
+    # int4 fields must pack at their LOGICAL 4-bit width (kdf.key_bits);
+    # mixed with a u16 and two u8 columns all four keys fit ONE u32 operand
+    a = rng.integers(-8, 8, size=8_000, dtype=np.int8)
+    b = rng.integers(0, 1 << 16, size=8_000, dtype=np.uint16)
+    c = rng.integers(0, 256, size=8_000, dtype=np.uint8)
+    ja = jnp.asarray(a).astype(jnp.int4)
+    from radix_sorting_tpu.extras import _pack_narrow_words, _word_pairs
+    from radix_sorting_tpu.api import _as_words
+    pairs = []
+    for k in [ja, jnp.asarray(b), jnp.asarray(c), ja]:
+        w, dt = _as_words(k, False)
+        pairs += _word_pairs(w, dt)
+    packed, _ = _pack_narrow_words(pairs)
+    assert len(packed) == 1  # 4 + 16 + 8 + 4 = 32 bits: one operand
+    perm = np.asarray(lexsort([ja, jnp.asarray(b), jnp.asarray(c)]))
+    assert np.array_equal(perm, np.lexsort((a, b, c)).astype(np.uint32))

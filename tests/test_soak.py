@@ -229,3 +229,35 @@ def test_soak_distributed_records(seed):
             jnp.asarray(x), payload, mesh, method=method, **kw)
         assert np.array_equal(gather_sorted(jnp.asarray(pv), counts, ovf),
                               payload[expect])
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_soak_searchsorted_bincount(seed):
+    """Randomized sweep of the late-round-3 extras: searchsorted (both
+    formulations, both sides) and bincount (dense + fallback) vs numpy."""
+    from radix_sorting_tpu.extras import bincount, searchsorted
+    r = np.random.Generator(np.random.PCG64(0x5EA + seed))
+    n = int(r.integers(2, 60_000))
+    q = int(r.integers(1, 30_000))
+    side = "left" if seed % 2 else "right"
+    style = seed % 3
+    if style == 0:    # u32 binary-search path
+        a = np.sort(r.integers(0, 1 << int(r.integers(3, 33)), size=n,
+                               dtype=np.uint32))
+        v = r.integers(0, max(2, int(a[-1]) + 1), size=q, dtype=np.uint32)
+        got = np.asarray(searchsorted(jnp.asarray(a), jnp.asarray(v),
+                                      side=side))
+        assert np.array_equal(got, np.searchsorted(a, v, side=side))
+    elif style == 1:  # u64 union-sort path, duplicate-heavy
+        base = r.integers(0, 1 << 64, size=max(1, n // 3), dtype=np.uint64)
+        a = np.sort(r.choice(base, size=n))
+        v = np.concatenate([r.choice(base, size=q // 2 + 1),
+                            r.integers(0, 1 << 64, size=q // 2 + 1,
+                                       dtype=np.uint64)])[:q]
+        got = np.asarray(searchsorted(a, v, side=side))
+        assert np.array_equal(got, np.searchsorted(a, v, side=side))
+    else:             # bincount, random length (crosses the pow2 rounding)
+        length = int(r.integers(2, 5000))
+        x = r.integers(0, length, size=n, dtype=np.uint32)
+        got = np.asarray(bincount(jnp.asarray(x), length=length))
+        assert np.array_equal(got, np.bincount(x, minlength=length))
