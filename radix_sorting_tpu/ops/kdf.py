@@ -24,7 +24,12 @@ TPU-first differences from the reference:
   keys-only sorts the engine sorts the derived words and *decodes* the result,
   instead of carrying the original values as payload — halving data movement.
 * bfloat16/float16 are first-class (TPU-native dtypes), via the same
-  sign-mangle rule applied at their width.
+  sign-mangle rule applied at their width — as are the ML quantization
+  dtypes: float8_e4m3fn/e5m2 (8-bit mangle; the derived domain rides the
+  256-bin counting tier) and int4/uint4 (identity/sign-flip at the LOGICAL
+  4-bit width — ``key_bits`` reports 4 even though jnp storage is
+  byte-backed; sub-byte arrays have no byte view, so raw-bit access goes
+  through same-width bitcasts).
 
 All functions are jit-compatible and shape-preserving.
 
