@@ -335,11 +335,12 @@ def bincount(x, *, length: Optional[int] = None, validate: bool = False):
         raise ValueError(f"length must be positive, got {length}")
     w = xa.astype(jnp.uint32)  # negatives wrap out of [0, length): dropped
     if validate and int(xa.shape[0]):
-        lo = int(jnp.min(w))
+        # negatives wrap past any sane length in the u32 view, so one max
+        # reduce (single host sync) covers both failure modes
         hi = int(jnp.max(w))
-        if hi >= length or (k == "i" and bool(jnp.any(xa.astype(jnp.int32) < 0))):
+        if hi >= length:
             raise ValueError(
-                f"bincount values outside [0, {length}): min raw {lo}, max raw {hi}")
+                f"bincount values outside [0, {length}): max raw bits 0x{hi:X}")
     if int(xa.shape[0]) == 0:
         return jnp.zeros((length,), jnp.int32)
     from .ops.pallas_kernels import use_tpu_routes
@@ -398,7 +399,10 @@ def searchsorted(sorted_keys, queries, *, side: str = "left",
 
     if len(sw) == 1:
         if method == "auto":
-            method = "sort" if jax.default_backend() == "tpu" else "scan"
+            # use_tpu_routes, not a raw backend check: RST_FORCE_TPU_ROUTES
+            # then exercises the TPU method choice in CI too
+            from .ops.pallas_kernels import use_tpu_routes
+            method = "sort" if use_tpu_routes() else "scan"
         return jnp.searchsorted(sw[0], qw[0], side=side,
                                 method=method).astype(jnp.int32)
 
@@ -418,7 +422,8 @@ def searchsorted(sorted_keys, queries, *, side: str = "left",
     words = tuple(jnp.concatenate([s, w]) for s, w in zip(sw, qw))
     idx = jnp.concatenate([idx_s, idx_q])
     (_, _, sidx), _ = hw_engine.sort_words(words + (idx,), (), stable=False)
-    is_sorted_elem = ((sidx >= q) if side == "left" else (sidx < n))         .astype(jnp.int32)
+    is_sorted_elem = ((sidx >= q) if side == "left"
+                      else (sidx < n)).astype(jnp.int32)
     before = jnp.cumsum(is_sorted_elem) - is_sorted_elem  # exclusive count
     # restore original query order: one inverse-permutation sort on sidx
     # (strictly unique keys carrying the counts as payload — the engine's
