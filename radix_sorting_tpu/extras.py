@@ -351,7 +351,11 @@ def bincount(x, *, length: Optional[int] = None, validate: bool = False):
     if length >= 4:
         from .ops.pallas_kernels import histogram_tpu
         bins = 1 << (length - 1).bit_length()  # kernel wants a power of two
-        return histogram_tpu(w, 0, radix_bits=bins.bit_length() - 1)[:length]
+        # drop_ge gives out-of-range values the documented drop semantics:
+        # the kernel's digit masks would otherwise alias them into
+        # value mod bins (fused into the padding invalidation, free)
+        return histogram_tpu(w, 0, radix_bits=bins.bit_length() - 1,
+                             drop_ge=length)[:length]
     from .ops.histogram import digit_histogram
     return digit_histogram(w, length)
 

@@ -94,11 +94,19 @@ def _split_bits(radix_bits: int):
     return hi, lo
 
 
-def _hist_kernel(x_ref, o_ref, *, shifts, radix_bits, valid_n, sub, block_subs):
+def _hist_kernel(x_ref, o_ref, *, shifts, radix_bits, valid_n, sub, block_subs,
+                 drop_ge=None):
     """Accumulate factored digit histograms of one block.
 
     x_ref: (block_subs, sub) uint32 keys;
     o_ref: (2^hi_bits, 2^lo_bits * num_passes) int32.
+
+    ``drop_ge``: keys >= this u32 value are excluded from every histogram,
+    through the same hi-one-hot invalidation as the tail padding — fused,
+    zero extra bandwidth. The engines' digit histograms never set it (their
+    digits are < bins by construction); `extras.bincount` uses it to give
+    out-of-range values numpy's drop semantics instead of aliasing them
+    into ``value mod bins`` through the digit masks below.
     """
     hi_bits, lo_bits = _split_bits(radix_bits)
     H, L = 1 << hi_bits, 1 << lo_bits
@@ -118,6 +126,8 @@ def _hist_kernel(x_ref, o_ref, *, shifts, radix_bits, valid_n, sub, block_subs):
         row = x_ref[pl.ds(s, 1), :]                      # (1, sub) uint32
         eidx = base + s * sub + lax.broadcasted_iota(jnp.int32, (1, sub), 1)
         in_range = eidx < valid_n                        # (1, sub)
+        if drop_ge is not None:
+            in_range = in_range & (row < np.uint32(drop_ge))
         for p, shift in enumerate(shifts):
             d_lo = (row >> np.uint32(shift)) & lomask
             d_hi = (row >> np.uint32(shift + lo_bits)) & himask
@@ -136,8 +146,9 @@ def _hist_kernel(x_ref, o_ref, *, shifts, radix_bits, valid_n, sub, block_subs):
     lax.fori_loop(0, block_subs, body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("shifts", "radix_bits", "valid_n"))
-def _hist_call(x_padded, shifts, radix_bits, valid_n):
+@functools.partial(jax.jit, static_argnames=("shifts", "radix_bits", "valid_n",
+                                             "drop_ge"))
+def _hist_call(x_padded, shifts, radix_bits, valid_n, drop_ge=None):
     sub, block_subs = _hist_layout(radix_bits)
     n = x_padded.shape[0]
     block_elems = block_subs * sub
@@ -147,7 +158,7 @@ def _hist_call(x_padded, shifts, radix_bits, valid_n):
     H, L = 1 << hi_bits, 1 << lo_bits
     kernel = functools.partial(
         _hist_kernel, shifts=shifts, radix_bits=radix_bits, valid_n=valid_n,
-        sub=sub, block_subs=block_subs,
+        sub=sub, block_subs=block_subs, drop_ge=drop_ge,
     )
     out = pl.pallas_call(
         kernel,
@@ -173,11 +184,16 @@ def _pad_keys(w: jax.Array):
     return w, n
 
 
-def histogram_tpu(w: jax.Array, pass_index: int, radix_bits: int = 8) -> jax.Array:
-    """(bins,) int32 histogram of one digit of a u32 key vector (Pallas)."""
+def histogram_tpu(w: jax.Array, pass_index: int, radix_bits: int = 8,
+                  drop_ge: int | None = None) -> jax.Array:
+    """(bins,) int32 histogram of one digit of a u32 key vector (Pallas).
+
+    ``drop_ge``: if set, keys >= it are excluded (fused into the kernel's
+    padding invalidation) — see `_hist_kernel`.
+    """
     wp, n = _pad_keys(w)
     shifts = (pass_index * radix_bits,)
-    return _hist_call(wp, shifts, radix_bits, n)[0]
+    return _hist_call(wp, shifts, radix_bits, n, drop_ge)[0]
 
 
 def multi_digit_histogram_tpu(w: jax.Array, radix_bits: int = 8) -> jax.Array:

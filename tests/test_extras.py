@@ -406,6 +406,25 @@ def test_bincount_vs_numpy(rng):
         assert np.array_equal(got, np.bincount(x, minlength=want_len))
 
 
+def test_bincount_out_of_range_drops_not_aliases(rng):
+    # the dense TPU route extracts the bin through a digit MASK, which would
+    # alias value mod bins into a real bin (762 -> 250 at 256 bins) without
+    # the kernel's drop_ge invalidation; numpy semantics = dropped
+    from radix_sorting_tpu.extras import bincount
+    x = np.array([5, 250 + 2 * 256, 3, 5], dtype=np.uint32)
+    got = np.asarray(bincount(jnp.asarray(x), length=251))
+    assert np.array_equal(got, np.bincount(np.array([5, 3, 5]), minlength=251))
+    # power-of-two length: value == length must not wrap into bin 0
+    y = np.array([0, 256, 1, 511, 7], dtype=np.uint32)
+    got2 = np.asarray(bincount(jnp.asarray(y), length=256))
+    assert np.array_equal(got2,
+                          np.bincount(np.array([0, 1, 7]), minlength=256))
+    # negatives drop through the u32 wrap on the same path
+    z = np.array([-1, 2, 2, -5], dtype=np.int32)
+    got3 = np.asarray(bincount(jnp.asarray(z), length=8))
+    assert np.array_equal(got3, np.bincount(np.array([2, 2]), minlength=8))
+
+
 def test_bincount_validate_and_errors(rng):
     from radix_sorting_tpu.extras import bincount
     with pytest.raises(ValueError):

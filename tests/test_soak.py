@@ -258,6 +258,10 @@ def test_soak_searchsorted_bincount(seed):
         assert np.array_equal(got, np.searchsorted(a, v, side=side))
     else:             # bincount, random length (crosses the pow2 rounding)
         length = int(r.integers(2, 5000))
-        x = r.integers(0, length, size=n, dtype=np.uint32)
+        # ~half the seeds mix in out-of-range values: they must DROP, not
+        # alias mod the padded bin count (the drop_ge kernel regression)
+        hi = length if seed % 2 else 4 * length
+        x = r.integers(0, hi, size=n, dtype=np.uint32)
         got = np.asarray(bincount(jnp.asarray(x), length=length))
-        assert np.array_equal(got, np.bincount(x, minlength=length))
+        assert np.array_equal(
+            got, np.bincount(x[x < length], minlength=length))
