@@ -140,11 +140,14 @@ def main() -> int:
     check("searchsorted u64 (union sort)",
           np.array_equal(got, np.searchsorted(a64, q64)))
 
-    # bincount: dense histogram route (np.bincount via the MXU, not scatter)
+    # bincount: dense histogram route (np.bincount via the MXU, not scatter).
+    # 12-bit values against length=1000 (1024 padded bins) also verify the
+    # kernel's drop_ge invalidation on chip: values >= 1024 would alias
+    # mod 1024 into live bins without it
     from radix_sorting_tpu.extras import bincount
-    xb8 = (x & np.uint32(0x3FF)).astype(np.uint32)
+    xb8 = (x & np.uint32(0xFFF)).astype(np.uint32)
     got = np.asarray(bincount(jnp.asarray(xb8), length=1000))
-    check("bincount (dense histogram)",
+    check("bincount (dense histogram + out-of-range drop)",
           np.array_equal(got, np.bincount(xb8, minlength=1000)[:1000]))
 
     # float8 keys: KDF-only extension riding the 256-bin counting tier
