@@ -92,13 +92,44 @@ def _is_np64_no_x64(leaf) -> bool:
             and not jax.config.jax_enable_x64)
 
 
+def _pack_bytes_field(u8mat):
+    """(n, W) uint8 -> ceil(W/4) u32 operand planes (inverse: _unpack_bytes_field).
+
+    Payload planes carry no order semantics, so any bijection works; packing
+    4 byte columns per u32 plane quarters the operand count vs shipping raw
+    byte columns through the sorter (the sorter is measured operand-bound —
+    ROADMAP "stable pairs floor").
+    """
+    n, W = u8mat.shape
+    G = -(-W // 4)
+    if W != G * 4:
+        u8mat = jnp.pad(u8mat, ((0, 0), (0, G * 4 - W)))
+    cols = u8mat.astype(jnp.uint32)
+    return tuple(
+        (cols[:, 4 * g] << 24) | (cols[:, 4 * g + 1] << 16)
+        | (cols[:, 4 * g + 2] << 8) | cols[:, 4 * g + 3]
+        for g in range(G))
+
+
+def _unpack_bytes_field(planes, W: int):
+    cols = [((p >> np.uint32(s)) & np.uint32(0xFF)).astype(jnp.uint8)
+            for p in planes for s in (24, 16, 8, 0)]
+    return jnp.stack(cols, axis=1)[:, :W]
+
+
 def _flatten_payload(values):
     """Payload pytree -> sorter operand planes + rebuild metadata.
 
     Returns (planes, meta); ``meta`` is ``(treedef, specs)`` where each spec
-    is ``None`` (leaf rode natively as one operand) or the original 64-bit
+    is ``None`` (leaf rode natively as one operand), the original 64-bit
     numpy dtype (leaf rode as raw (hi, lo) u32 planes — bit-exact without
-    x64, like the distributed payload codec in `parallel/_payload.py`).
+    x64, like the distributed payload codec in `parallel/_payload.py`), or
+    ``("bytes", W, dt)`` for a fixed-width byte-string field.
+
+    Byte-string fields — the reference's record demo carries a short char
+    name per key (`radix_tests.cpp` record fixture; `README.md:252`) — enter
+    as numpy ``S``/``V`` 1-D arrays or as ``(n, W)`` uint8/int8 device
+    matrices (row = one element's bytes), and ride packed u32 planes.
     """
     if values is None:
         return (), None
@@ -106,7 +137,14 @@ def _flatten_payload(values):
     n = None
     planes, specs = [], []
     for leaf in leaves:
-        if _is_np64_no_x64(leaf):
+        if (isinstance(leaf, np.ndarray) and leaf.dtype.kind in ("S", "V")
+                and leaf.ndim == 1):
+            W = leaf.dtype.itemsize
+            ln = leaf.shape[0]
+            u8 = np.ascontiguousarray(leaf).view(np.uint8).reshape(ln, W)
+            planes += list(_pack_bytes_field(jnp.asarray(u8)))
+            specs.append(("bytes", W, np.dtype(leaf.dtype)))
+        elif _is_np64_no_x64(leaf):
             if leaf.ndim != 1:
                 raise ValueError("payload leaves must be 1-D arrays")
             ln = leaf.shape[0]
@@ -115,11 +153,26 @@ def _flatten_payload(values):
             specs.append(np.dtype(leaf.dtype))
         else:
             a = jnp.asarray(leaf)
-            if a.ndim != 1:
-                raise ValueError("payload leaves must be 1-D arrays")
-            ln = a.shape[0]
-            planes.append(a)
-            specs.append(None)
+            if a.ndim == 2 and a.dtype in (jnp.uint8, jnp.int8):
+                if a.shape[1] == 0:
+                    raise ValueError("byte-field payload width must be > 0")
+                ln = a.shape[0]
+                u8 = (a if a.dtype == jnp.uint8
+                      else lax.bitcast_convert_type(a, jnp.uint8))
+                planes += list(_pack_bytes_field(u8))
+                # string marker, NOT jnp.dtype: jnp.dtype IS np.dtype, and
+                # the unflattener uses np.dtype to mean "numpy S/V in/out"
+                specs.append(("bytes", int(a.shape[1]),
+                              "u8" if a.dtype == jnp.uint8 else "i8"))
+            elif a.ndim != 1:
+                raise ValueError(
+                    "payload leaves must be 1-D arrays (or fixed-width byte "
+                    f"fields: numpy S/V or (n, W) uint8/int8), got {a.shape} "
+                    f"{a.dtype}")
+            else:
+                ln = a.shape[0]
+                planes.append(a)
+                specs.append(None)
         if n is None:
             n = ln
         elif ln != n:
@@ -136,6 +189,17 @@ def _unflatten_payload(sorted_planes, meta):
         if spec is None:
             out.append(sorted_planes[i])
             i += 1
+        elif isinstance(spec, tuple):  # ("bytes", W, dt)
+            _, W, dt = spec
+            G = -(-W // 4)
+            u8 = _unpack_bytes_field(sorted_planes[i:i + G], W)
+            i += G
+            if isinstance(dt, np.dtype):  # numpy S/V in -> numpy S/V out
+                out.append(np.ascontiguousarray(
+                    np.asarray(u8)).view(dt).reshape(-1))
+            else:
+                out.append(u8 if dt == "u8"
+                           else lax.bitcast_convert_type(u8, jnp.int8))
         else:
             hi, lo = sorted_planes[i], sorted_planes[i + 1]
             i += 2
@@ -419,12 +483,19 @@ rank_sort = argsort
 
 def sort_pairs(keys, values, *, config: SortConfig = DEFAULT_CONFIG,
                value_mask: Optional[int] = None, validate_mask: bool = False):
-    """Stable sort of keys carrying an arbitrary payload pytree of 1-D arrays.
+    """Stable sort of keys carrying an arbitrary payload pytree.
 
     The record-sort capability (`counting_sort_rec_sk.c:14-41`,
     `radix_tests.cpp:45-69`): the reference sorts structs via a key-extraction
     function; the TPU-idiomatic equivalent is structure-of-arrays payload
     permutation in the same fused sort.
+
+    Payload leaves are 1-D arrays of any supported dtype (64-bit numpy
+    leaves ride bit-exactly without x64), or fixed-width byte-string fields
+    — the reference's record demo carries a short char name per key
+    (`README.md:252`) — as numpy ``S``/``V`` 1-D arrays or ``(n, W)``
+    uint8/int8 matrices, packed 4 bytes per u32 operand plane (operands
+    beat per-element gathers on this part; ROADMAP "stable pairs floor").
 
     ``value_mask`` (same promise as :func:`sort`) lets masked 64-bit keys
     with <= 32 live bits ship ONE compacted key operand through the stable

@@ -23,10 +23,27 @@ __all__ = ["payload_to_words", "payload_from_words", "encode_payload_tree",
 
 def payload_to_words(a) -> Tuple[Tuple[jax.Array, ...], Tuple]:
     """Encode one payload leaf into u32 planes with an exact inverse."""
+    if isinstance(a, np.ndarray) and a.dtype.kind in ("S", "V") and a.ndim == 1:
+        # fixed-width byte-string field (matches api.sort_pairs): 4 bytes
+        # per packed u32 plane; numpy in -> numpy out
+        from ..api import _pack_bytes_field
+        W = a.dtype.itemsize
+        u8 = np.ascontiguousarray(a).view(np.uint8).reshape(a.shape[0], W)
+        return _pack_bytes_field(jnp.asarray(u8)), (("bytes", W,
+                                                     np.dtype(a.dtype)), False)
     if isinstance(a, np.ndarray) and a.dtype.itemsize == 8 and not jax.config.jax_enable_x64:
         from ..ops.kdf import split64_np
         return split64_np(a), (np.dtype(a.dtype), True)
     a = jnp.asarray(a)
+    if a.ndim == 2 and a.dtype in (jnp.uint8, jnp.int8):
+        if a.shape[1] == 0:
+            raise ValueError("byte-field payload width must be > 0")
+        from ..api import _pack_bytes_field
+        u8 = (a if a.dtype == jnp.uint8
+              else lax.bitcast_convert_type(a, jnp.uint8))
+        return _pack_bytes_field(u8), (("bytes", int(a.shape[1]),
+                                        "u8" if a.dtype == jnp.uint8
+                                        else "i8"), False)
     d = jnp.dtype(a.dtype)
     if d.itemsize == 8:
         from ..ops.kdf import _split64
@@ -43,6 +60,14 @@ def payload_to_words(a) -> Tuple[Tuple[jax.Array, ...], Tuple]:
 
 def payload_from_words(words, meta):
     d, is64 = meta
+    if isinstance(d, tuple):  # ("bytes", W, dt) byte-string field
+        from ..api import _unpack_bytes_field
+        _, W, dt = d
+        u8 = _unpack_bytes_field(words, W)
+        if isinstance(dt, np.dtype):
+            return np.ascontiguousarray(np.asarray(u8)).view(dt).reshape(-1)
+        return (u8 if dt == "u8"
+                else lax.bitcast_convert_type(u8, jnp.int8))
     if is64:
         hi, lo = words
         if isinstance(d, np.dtype) and not jax.config.jax_enable_x64:

@@ -392,3 +392,27 @@ def test_balanced_overlap_pairs_and_generic(rng, mesh):
     assert np.array_equal(
         gather_sorted(jnp.asarray(pv["b"]).astype(jnp.uint32), counts)
         .astype(np.uint16), payload["b"][order])
+
+
+def test_balanced_pairs_bytes_field(rng, mesh):
+    # fixed-width byte-string payload (matches api.sort_pairs): numpy S in ->
+    # numpy S out; device (n, W) uint8 in -> device matrix out. Output is
+    # padded per device, so slice rows by counts like the wide-leaf case.
+    from radix_sorting_tpu.parallel import distributed_sort_pairs_balanced
+    n = (1 << 12) + 19
+    k = rng.integers(0, 50, size=n, dtype=np.uint32)  # heavy ties
+    names = np.array([f"n{i:05d}".encode() for i in range(n)], dtype="S6")
+    mat = rng.integers(0, 256, size=(n, 5), dtype=np.uint8)
+    sk, pv, counts, ovf = distributed_sort_pairs_balanced(
+        jnp.asarray(k), {"s": names, "m": jnp.asarray(mat)}, mesh)
+    order = np.argsort(k, kind="stable")
+    counts_np = np.asarray(counts)
+
+    def unpad(rows):
+        flat = rows.reshape(8, -1, *rows.shape[1:])
+        return np.concatenate([flat[d, : counts_np[d]] for d in range(8)])
+
+    assert pv["s"].dtype == names.dtype
+    assert np.array_equal(unpad(pv["s"]), names[order])
+    assert pv["m"].dtype == jnp.uint8
+    assert np.array_equal(unpad(np.asarray(pv["m"])), mat[order])

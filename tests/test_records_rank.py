@@ -227,3 +227,67 @@ def test_counting_strategy_rejected_for_rank_and_pairs(rng):
     sk, sv = rst.counting_sort(jnp.asarray(k8), jnp.asarray(x), config=cfg)
     order = np.argsort(k8, kind="stable")
     assert np.array_equal(np.asarray(sv), x[order])
+
+
+# ---------------------------------------------------------------------------
+# fixed-width byte-string payload fields (the reference record demo carries a
+# short char name per key — `README.md:252`; TPU-first: packed u32 operand
+# planes instead of pointer gathers)
+
+
+def test_pairs_bytes_payload_numpy_strings(rng):
+    n = 4_000
+    keys = rng.integers(0, 50, size=n, dtype=np.uint32)  # duplicate-heavy
+    names = np.array([f"id{i:06d}".encode() for i in range(n)], dtype="S8")
+    order = np.argsort(keys, kind="stable")
+    for cfg in (rst.SortConfig(), rst.SortConfig(strategy=rst.Strategy.LSD),
+                rst.SortConfig(descending=True)):
+        o = order if not cfg.descending else np.argsort(
+            np.iinfo(np.uint32).max - keys, kind="stable")
+        sk, sv = rst.sort_pairs(jnp.asarray(keys), {"name": names}, config=cfg)
+        assert sv["name"].dtype == names.dtype
+        assert np.array_equal(sv["name"], names[o])
+        assert np.array_equal(np.asarray(sk), keys[o])
+
+
+def test_pairs_bytes_payload_device_matrices(rng):
+    n = 2_000
+    keys = rng.integers(0, 1 << 16, size=n, dtype=np.uint16)
+    w = 7  # not a multiple of the 4-byte plane packing
+    mat = rng.integers(0, 256, size=(n, w), dtype=np.uint8)
+    m8 = (mat.astype(np.int32) - 128).astype(np.int8)
+    order = np.argsort(keys, kind="stable")
+    sk, sv = rst.sort_pairs(jnp.asarray(keys),
+                            {"u": jnp.asarray(mat), "i": jnp.asarray(m8)})
+    assert sv["u"].dtype == jnp.uint8 and sv["u"].shape == (n, w)
+    assert np.array_equal(np.asarray(sv["u"]), mat[order])
+    assert sv["i"].dtype == jnp.int8
+    assert np.array_equal(np.asarray(sv["i"]), m8[order])
+
+
+def test_pairs_bytes_payload_void_and_mixed(rng):
+    n = 1_000
+    keys = rng.integers(0, 1 << 63, size=n, dtype=np.uint64)
+    rec = np.frombuffer(rng.integers(0, 256, size=3 * n, dtype=np.uint8)
+                        .tobytes(), dtype="V3")
+    p64 = rng.integers(-(1 << 62), 1 << 62, size=n, dtype=np.int64)
+    order = np.argsort(keys, kind="stable")
+    sk, sv = rst.sort_pairs(keys, {"rec": rec, "v": p64})
+    assert np.array_equal(sv["rec"].view("V3").reshape(-1), rec[order])
+    assert np.array_equal(sv["v"], p64[order])
+    # masked-key compaction route carries byte fields identically
+    km = keys & np.uint64(0xFFFF0000)
+    om = np.argsort(km, kind="stable")
+    _, svm = rst.sort_pairs(km, {"rec": rec},
+                            value_mask=0xFFFF0000, validate_mask=True)
+    assert np.array_equal(svm["rec"].view("V3").reshape(-1), rec[om])
+
+
+def test_pairs_bytes_payload_errors(rng):
+    keys = jnp.asarray(np.arange(8, dtype=np.uint32))
+    with pytest.raises(ValueError, match="width must be > 0"):
+        rst.sort_pairs(keys, jnp.zeros((8, 0), jnp.uint8))
+    with pytest.raises(ValueError, match="payload leaves"):
+        rst.sort_pairs(keys, jnp.zeros((8, 3), jnp.uint16))  # only u8/i8 2-D
+    with pytest.raises(ValueError, match="lengths differ"):
+        rst.sort_pairs(keys, np.array([b"ab"] * 7, dtype="S2"))

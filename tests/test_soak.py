@@ -265,3 +265,28 @@ def test_soak_searchsorted_bincount(seed):
         got = np.asarray(bincount(jnp.asarray(x), length=length))
         assert np.array_equal(
             got, np.bincount(x[x < length], minlength=length))
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_soak_bytes_payload(seed):
+    """Randomized byte-string payload fields through sort_pairs: random key
+    dtype/width, random field width (crossing the 4-byte plane packing),
+    numpy S and device u8/i8 matrix forms, duplicate-heavy keys."""
+    import radix_sorting_tpu as rst
+    r = np.random.Generator(np.random.PCG64(0xB17E5 + seed))
+    n = int(r.integers(2, 40_000))
+    kd = [np.uint8, np.uint16, np.uint32, np.int32][seed % 4]
+    lo, hi = (np.iinfo(kd).min, np.iinfo(kd).max)
+    k = r.integers(lo, max(lo + 1, hi // 97), size=n, dtype=kd)
+    W = int(r.integers(1, 14))
+    raw = r.integers(0, 256, size=(n, W), dtype=np.uint8)
+    order = np.argsort(k, kind="stable")
+    if seed % 2:
+        names = np.frombuffer(raw.tobytes(), dtype=f"S{W}")
+        _, pv = rst.sort_pairs(jnp.asarray(k), {"s": names})
+        assert pv["s"].dtype == names.dtype
+        assert np.array_equal(pv["s"], names[order])
+    else:
+        m = raw if seed % 4 else raw.view(np.int8)
+        _, pv = rst.sort_pairs(jnp.asarray(k), {"m": jnp.asarray(m)})
+        assert np.array_equal(np.asarray(pv["m"]), m[order])
