@@ -64,6 +64,15 @@ def main() -> int:
     check("record sort (pytree payload)",
           np.array_equal(np.asarray(sv["v"]), v[order]))
 
+    # byte-string payload field (numpy S in -> numpy S out; packed u32
+    # planes — verifies the pack/unpack lowering on chip)
+    nb = min(n, 200_000)
+    names = np.array([f"k{i:06d}".encode() for i in range(nb)], dtype="S7")
+    kb = (x[:nb] % 50).astype(np.uint32)
+    _, svb = rst.sort_pairs(jnp.asarray(kb), {"name": names})
+    check("record sort (byte-string field)",
+          np.array_equal(svb["name"], names[np.argsort(kb, kind="stable")]))
+
     x64 = rng.integers(0, 1 << 64, size=n // 4, dtype=np.uint64)
     out = np.asarray(rst.sort(x64), dtype=np.uint64)
     check("64-bit keys (no x64)", np.array_equal(out, np.sort(x64)))
