@@ -140,6 +140,13 @@ def _flatten_payload(values):
         if (isinstance(leaf, np.ndarray) and leaf.dtype.kind in ("S", "V")
                 and leaf.ndim == 1):
             W = leaf.dtype.itemsize
+            if W == 0:
+                raise ValueError("byte-field payload width must be > 0")
+            if W > 256:
+                raise ValueError(
+                    f"byte-field payload width {W} > 256: each 4 bytes adds "
+                    "a sort operand — carry long blobs as an index payload "
+                    "and gather on the host instead")
             ln = leaf.shape[0]
             u8 = np.ascontiguousarray(leaf).view(np.uint8).reshape(ln, W)
             planes += list(_pack_bytes_field(jnp.asarray(u8)))
@@ -156,6 +163,11 @@ def _flatten_payload(values):
             if a.ndim == 2 and a.dtype in (jnp.uint8, jnp.int8):
                 if a.shape[1] == 0:
                     raise ValueError("byte-field payload width must be > 0")
+                if a.shape[1] > 256:
+                    raise ValueError(
+                        f"byte-field payload width {a.shape[1]} > 256: each "
+                        "4 bytes adds a sort operand — carry long blobs as "
+                        "an index payload and gather on the host instead")
                 ln = a.shape[0]
                 u8 = (a if a.dtype == jnp.uint8
                       else lax.bitcast_convert_type(a, jnp.uint8))

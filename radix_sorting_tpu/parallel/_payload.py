@@ -28,6 +28,9 @@ def payload_to_words(a) -> Tuple[Tuple[jax.Array, ...], Tuple]:
         # per packed u32 plane; numpy in -> numpy out
         from ..api import _pack_bytes_field
         W = a.dtype.itemsize
+        if not 0 < W <= 256:
+            raise ValueError(
+                f"byte-field payload width must be in 1..256, got {W}")
         u8 = np.ascontiguousarray(a).view(np.uint8).reshape(a.shape[0], W)
         return _pack_bytes_field(jnp.asarray(u8)), (("bytes", W,
                                                      np.dtype(a.dtype)), False)
@@ -36,8 +39,9 @@ def payload_to_words(a) -> Tuple[Tuple[jax.Array, ...], Tuple]:
         return split64_np(a), (np.dtype(a.dtype), True)
     a = jnp.asarray(a)
     if a.ndim == 2 and a.dtype in (jnp.uint8, jnp.int8):
-        if a.shape[1] == 0:
-            raise ValueError("byte-field payload width must be > 0")
+        if not 0 < a.shape[1] <= 256:
+            raise ValueError(
+                f"byte-field payload width must be in 1..256, got {a.shape[1]}")
         from ..api import _pack_bytes_field
         u8 = (a if a.dtype == jnp.uint8
               else lax.bitcast_convert_type(a, jnp.uint8))

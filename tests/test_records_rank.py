@@ -291,3 +291,7 @@ def test_pairs_bytes_payload_errors(rng):
         rst.sort_pairs(keys, jnp.zeros((8, 3), jnp.uint16))  # only u8/i8 2-D
     with pytest.raises(ValueError, match="lengths differ"):
         rst.sort_pairs(keys, np.array([b"ab"] * 7, dtype="S2"))
+    with pytest.raises(ValueError, match="> 256"):
+        rst.sort_pairs(keys, jnp.zeros((8, 300), jnp.uint8))
+    with pytest.raises(ValueError, match="> 256"):
+        rst.sort_pairs(keys, np.zeros(8, dtype="V300"))
