@@ -40,6 +40,15 @@ from .extras import (
     unique_sorted,
 )
 from .ops.bitmap import bitmap_unique_sort
+from .sets import (
+    UniqueResult,
+    intersect1d,
+    isin,
+    setdiff1d,
+    setxor1d,
+    union1d,
+    unique,
+)
 
 __version__ = "0.4.0"
 
@@ -62,6 +71,13 @@ __all__ = [
     "stable_partition",
     "value_counts",
     "unique_sorted",
+    "unique",
+    "UniqueResult",
+    "isin",
+    "union1d",
+    "intersect1d",
+    "setdiff1d",
+    "setxor1d",
     "segmented_sort",
     "segmented_argsort",
     "top_k",

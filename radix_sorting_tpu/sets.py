@@ -1,0 +1,303 @@
+"""numpy-style set routines, realized as fused derived-key sorts.
+
+The reference stops at the bitmap unique-sort (`bitmap_sort_16.c`); this
+module carries the same "sort once, read the boundaries" idea to the full
+numpy set API: :func:`unique` (with index/inverse/counts), :func:`isin`,
+:func:`union1d`, :func:`intersect1d`, :func:`setdiff1d`, :func:`setxor1d`.
+
+TPU design notes
+----------------
+- Everything is one or two fused multi-operand device sorts — no per-element
+  gather/scatter formulations (measured dead on this hardware: gather
+  ~70-110 M elem/s vs the oblivious sorter's ~540 M keys/s, ROADMAP).
+- The binary set ops sort the *concatenation* of the two inputs once, with a
+  side-flag u32 plane appended as the lowest-priority sort key: within every
+  run of equal keys the A-side elements sort first, so "does this run touch
+  A / touch B" reads off the run's first and last elements — no second
+  membership pass.
+- Fixed-shape contracts throughout (`size` static, `count` dynamic), so every
+  routine is jit-compatible. Padding slots hold the KDF-order domain maximum
+  (all-ones encoded words), consistent with the sorts' padding conventions.
+- Equality is *bitwise under the KDF total order*, exactly like the sorts
+  themselves: -0.0 and +0.0 are distinct, NaNs with different payloads are
+  distinct. (numpy instead collapses NaNs in `unique` since 1.21; callers
+  who want that behavior can canonicalize NaNs first.)
+- 64-bit dtypes work without x64 (two u32 word planes, numpy in / numpy out),
+  like everywhere else in the package.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import DEFAULT_CONFIG, SortConfig
+from .ops import hw_engine
+
+
+def _as_words(x, descending: bool):
+    from .api import _as_words as f
+    return f(x, descending)
+
+
+def _decode(words, dtype, descending: bool):
+    from .api import _decode as f
+    return f(words, dtype, descending)
+
+
+def _neq_prev(words):
+    """words[i] != words[i-1] (any plane), shape (n-1,)."""
+    return functools.reduce(
+        jnp.logical_or, [w[1:] != w[:-1] for w in words])
+
+
+_ONES = np.uint32(0xFFFFFFFF)
+
+
+def _empty_like(x, size: int):
+    """(size,) zeros of x's dtype, preserving 64-bit numpy without x64."""
+    if isinstance(x, np.ndarray) and x.dtype.itemsize == 8 \
+            and not jax.config.jax_enable_x64:
+        return np.zeros((size,), x.dtype)
+    return jnp.zeros((size,), jnp.asarray(x).dtype)
+
+
+class UniqueResult(NamedTuple):
+    """Fixed-shape :func:`unique` result; unrequested fields are ``None``.
+
+    ``values`` has static length ``size``; slots past ``num_unique`` hold a
+    maximal padding value. ``index``/``counts`` share that shape (padded with
+    0); ``inverse`` has the input's length.
+    """
+    values: jax.Array
+    index: Optional[jax.Array]
+    inverse: Optional[jax.Array]
+    counts: Optional[jax.Array]
+    num_unique: jax.Array
+
+
+def unique(x, *, return_index: bool = False, return_inverse: bool = False,
+           return_counts: bool = False, size: Optional[int] = None,
+           config: SortConfig = DEFAULT_CONFIG,
+           index_dtype=jnp.uint32) -> UniqueResult:
+    """``np.unique`` with the full flag surface, fixed-shape and jittable.
+
+    Sorted unique values plus, on request, the first-occurrence index of
+    each unique value (``index``), the per-input-element unique slot
+    (``inverse``, so ``values[inverse]`` reconstructs ``x``), and run
+    multiplicities (``counts``). ``config.descending`` orders the uniques
+    descending (numpy is ascending-only).
+
+    One stable rank sort when ``index``/``inverse`` are requested (the
+    first-occurrence index is exactly the stable permutation's value at each
+    run start), else one unstable keys-only sort. ``inverse`` is restored to
+    input order by a second sort on the permutation plane — the
+    inverse-permutation-as-sort trick from :func:`..extras.searchsorted`
+    (scatter formulations lose to the sorter on this hardware).
+
+    ``size`` (default ``len(x)``) must be >= the number of uniques for exact
+    ``values``/``index``/``counts``; a smaller size keeps the first ``size``
+    runs and, like :func:`..extras.value_counts`, folds the dropped runs'
+    mass into the last kept count. ``inverse`` and ``num_unique`` are exact
+    regardless of ``size``.
+    """
+    if np.ndim(x) != 1:
+        raise ValueError(f"keys must be 1-D, got shape {jnp.shape(x)}")
+    n = int(jnp.shape(x)[0])
+    if size is None:
+        size = n
+    if n == 0:
+        z32 = jnp.zeros((size,), jnp.int32)
+        return UniqueResult(
+            _empty_like(x, size),
+            jnp.zeros((size,), index_dtype) if return_index else None,
+            jnp.zeros((0,), jnp.int32) if return_inverse else None,
+            z32 if return_counts else None,
+            jnp.int32(0))
+
+    words, dtype = _as_words(x, config.descending)
+    if return_index or return_inverse:
+        from .api import _check_index_width
+        _check_index_width(n, index_dtype)
+        sw, perm = hw_engine.argsort_words(words, index_dtype=index_dtype)
+    else:
+        sw, _ = hw_engine.sort_words(words, (), stable=False)
+        perm = None
+
+    is_new = jnp.concatenate([jnp.ones((1,), jnp.bool_), _neq_prev(sw)])
+    num_unique = jnp.sum(is_new, dtype=jnp.int32)
+    starts, = jnp.nonzero(is_new, size=size, fill_value=n)
+    live = jnp.arange(size) < num_unique
+    at = jnp.clip(starts, 0, n - 1)
+    values = _decode(tuple(jnp.where(live, w[at], _ONES) for w in sw),
+                     dtype, config.descending)
+
+    index = inverse = counts = None
+    if return_index:
+        index = jnp.where(live, perm[at], jnp.zeros((), index_dtype))
+    if return_inverse:
+        run_id = (jnp.cumsum(is_new.astype(jnp.int32)) - 1).astype(jnp.uint32)
+        _, (inv,) = hw_engine.sort_words(
+            (perm.astype(jnp.uint32),), (run_id,), stable=True)
+        inverse = inv.astype(jnp.int32)
+    if return_counts:
+        bounded = jnp.concatenate(
+            [starts, jnp.full((1,), n, starts.dtype)])
+        counts = jnp.where(live, (bounded[1:] - bounded[:-1]), 0) \
+                    .astype(jnp.int32)
+    return UniqueResult(values, index, inverse, counts, num_unique)
+
+
+def _merged_runs(a, b, config: SortConfig):
+    """One fused sort of concat(a, b) with a side-flag plane.
+
+    Returns ``(sorted_words, dtype, has_a, has_b, starts, num_runs, n)``
+    where ``has_a``/``has_b`` are per-run membership masks over the first
+    ``n = len(a) + len(b)`` runs (compressed, ascending-value order) and
+    ``starts`` are the runs' positions in the sorted order (fill ``n``).
+
+    The flag plane (A=0, B=1) rides as the lowest-priority sort key, so the
+    first element of every run is A-side iff the run contains any A element
+    and the last is B-side iff it contains any B — two boundary gathers
+    replace a whole membership pass.
+    """
+    aw, da = _as_words(a, config.descending)
+    bw, db = _as_words(b, config.descending)
+    if jnp.dtype(da) != jnp.dtype(db):
+        raise TypeError(
+            f"set-op inputs must share a dtype, got {da} and {db}")
+    na, nb = int(aw[0].shape[0]), int(bw[0].shape[0])
+    n = na + nb
+    flag = jnp.concatenate([jnp.zeros((na,), jnp.uint32),
+                            jnp.ones((nb,), jnp.uint32)])
+    words = tuple(jnp.concatenate([wa, wb]) for wa, wb in zip(aw, bw))
+    out = hw_engine.sort_words(words + (flag,), (), stable=False)[0]
+    sw, sflag = out[:-1], out[-1]
+
+    neq = _neq_prev(sw)
+    is_new = jnp.concatenate([jnp.ones((1,), jnp.bool_), neq])
+    is_last = jnp.concatenate([neq, jnp.ones((1,), jnp.bool_)])
+    num_runs = jnp.sum(is_new, dtype=jnp.int32)
+    starts, = jnp.nonzero(is_new, size=n, fill_value=n)
+    ends, = jnp.nonzero(is_last, size=n, fill_value=n)
+    live = jnp.arange(n) < num_runs
+    has_a = live & (sflag[jnp.clip(starts, 0, n - 1)] == 0)
+    has_b = live & (sflag[jnp.clip(ends, 0, n - 1)] == 1)
+    return sw, da, has_a, has_b, starts, num_runs, n
+
+
+def _compact_runs(sw, dtype, starts, emit, n, size, config: SortConfig):
+    """Emit the runs selected by ``emit`` as a fixed-shape ``(values, count)``.
+
+    Gathers each run's representative words at ``starts``, overwrites
+    non-emitted slots with all-ones (the KDF-order domain maximum, the
+    padding convention), and compacts emitted runs to the front with one
+    stable 1-bit-key pairs sort — the :func:`..extras.stable_partition`
+    formulation. Emitted runs are already in value order, so the stable
+    compaction preserves sortedness.
+    """
+    at = jnp.clip(starts, 0, n - 1)
+    reps = tuple(jnp.where(emit, w[at], _ONES) for w in sw)
+    key = (~emit).astype(jnp.uint32)
+    _, out = hw_engine.sort_words((key,), reps, stable=True)
+    if size > n:  # extend with explicit padding slots
+        out = tuple(jnp.concatenate([w, jnp.full((size - n,), _ONES)])
+                    for w in out)
+    values = _decode(tuple(w[:size] for w in out), dtype, config.descending)
+    return values, jnp.sum(emit, dtype=jnp.int32)
+
+
+def _binary_setop(a, b, which: str, size: Optional[int],
+                  config: SortConfig):
+    na, nb = int(jnp.shape(a)[0]), int(jnp.shape(b)[0])
+    if np.ndim(a) != 1 or np.ndim(b) != 1:
+        raise ValueError("set-op inputs must be 1-D")
+    default = {"union": na + nb, "intersect": min(na, nb),
+               "diff": na, "xor": na + nb}[which]
+    if size is None:
+        size = default
+    if na == 0 or nb == 0:
+        # one side empty: the op degenerates to unique() of one side or to
+        # an empty result — no merged sort needed
+        if which == "intersect" or (na == 0 and which == "diff"):
+            return _empty_like(a if na else b, size), jnp.int32(0)
+        keep = a if nb == 0 else b
+        if int(jnp.shape(keep)[0]) == 0:
+            return _empty_like(keep, size), jnp.int32(0)
+        u = unique(keep, size=size, config=config)
+        return u.values, u.num_unique
+
+    sw, dtype, has_a, has_b, starts, _, n = _merged_runs(a, b, config)
+    emit = {"union": has_a | has_b,
+            "intersect": has_a & has_b,
+            "diff": has_a & ~has_b,
+            "xor": has_a ^ has_b}[which]
+    return _compact_runs(sw, dtype, starts, emit, n, size, config)
+
+
+def union1d(a, b, *, size: Optional[int] = None,
+            config: SortConfig = DEFAULT_CONFIG):
+    """Sorted union of two arrays: fixed-shape ``(values, count)``.
+
+    ``values`` has static length ``size`` (default ``len(a) + len(b)``, the
+    exact-result bound); slots past ``count`` hold a maximal padding value.
+    A ``size`` below the true union keeps the ``size`` smallest values.
+    """
+    return _binary_setop(a, b, "union", size, config)
+
+
+def intersect1d(a, b, *, size: Optional[int] = None,
+                config: SortConfig = DEFAULT_CONFIG):
+    """Sorted intersection (values present in both): ``(values, count)``.
+
+    ``size`` defaults to ``min(len(a), len(b))``, the exact-result bound.
+    """
+    return _binary_setop(a, b, "intersect", size, config)
+
+
+def setdiff1d(a, b, *, size: Optional[int] = None,
+              config: SortConfig = DEFAULT_CONFIG):
+    """Sorted values of ``a`` not present in ``b``: ``(values, count)``.
+
+    ``size`` defaults to ``len(a)``, the exact-result bound.
+    """
+    return _binary_setop(a, b, "diff", size, config)
+
+
+def setxor1d(a, b, *, size: Optional[int] = None,
+             config: SortConfig = DEFAULT_CONFIG):
+    """Sorted values present in exactly one input: ``(values, count)``.
+
+    ``size`` defaults to ``len(a) + len(b)``, the exact-result bound.
+    """
+    return _binary_setop(a, b, "xor", size, config)
+
+
+def isin(element, test, *, config: SortConfig = DEFAULT_CONFIG):
+    """Per-element membership of ``element`` in ``test`` (``np.isin``, 1-D).
+
+    Membership is bitwise under the KDF total order (a NaN query matches
+    only a bit-identical NaN). One sort of ``test`` plus two
+    :func:`..extras.searchsorted` passes: an element is present iff its
+    'right' insertion position exceeds its 'left' one — the count of equal
+    keys, with no gather-compare chain (dead on this hardware, ROADMAP).
+
+    Returns a bool array of ``len(element)``.
+    """
+    from . import api
+    from .extras import searchsorted
+
+    if np.ndim(element) != 1 or np.ndim(test) != 1:
+        raise ValueError("isin inputs must be 1-D")
+    q = int(jnp.shape(element)[0])
+    if q == 0:
+        return jnp.zeros((0,), jnp.bool_)
+    if int(jnp.shape(test)[0]) == 0:
+        return jnp.zeros((q,), jnp.bool_)
+    st = api.sort(test, config=config)
+    lo = searchsorted(st, element, side="left", config=config)
+    hi = searchsorted(st, element, side="right", config=config)
+    return hi > lo

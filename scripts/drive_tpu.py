@@ -168,6 +168,32 @@ def main() -> int:
     check("float8 sort (counting tier)",
           np.array_equal(np.asarray(kdf.encode(sf8)[0]), np.sort(kx)))
 
+    # set routines: unique with the full flag surface + one merged-run set op
+    # + isin (three distinct sort formulations: rank sort, side-flag merge,
+    # searchsorted membership)
+    from radix_sorting_tpu.sets import intersect1d, isin, unique
+    xs = (x & np.uint32(0x3FFF)).astype(np.uint32)
+    r = unique(jnp.asarray(xs), return_index=True, return_inverse=True,
+               return_counts=True, size=1 << 14)
+    uq, uidx, uinv, ucnt = np.unique(xs, return_index=True,
+                                     return_inverse=True, return_counts=True)
+    k = len(uq)
+    check("unique (index/inverse/counts)",
+          int(r.num_unique) == k
+          and np.array_equal(np.asarray(r.values)[:k], uq)
+          and np.array_equal(np.asarray(r.index)[:k], uidx)
+          and np.array_equal(np.asarray(r.inverse), uinv)
+          and np.array_equal(np.asarray(r.counts)[:k], ucnt))
+    sa, sb = xs[: n // 2], (x[n // 2:] & np.uint32(0x3FFF)).astype(np.uint32) | 0x2000
+    vals, cnt = intersect1d(jnp.asarray(sa), jnp.asarray(sb), size=1 << 14)
+    want = np.intersect1d(sa, sb)
+    check("intersect1d (side-flag merged sort)",
+          int(cnt) == len(want)
+          and np.array_equal(np.asarray(vals)[: len(want)], want))
+    got = np.asarray(isin(jnp.asarray(sa[:100_000]), jnp.asarray(sb[:100_000])))
+    check("isin (membership via searchsorted)",
+          np.array_equal(got, np.isin(sa[:100_000], sb[:100_000])))
+
     mesh = make_sort_mesh(1)
     sp, counts, ovf = distributed_sort_balanced_u32(xj, mesh)
     check("distributed balanced (1-chip mesh)",

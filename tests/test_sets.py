@@ -1,0 +1,222 @@
+"""Set routines (sets.py) vs numpy oracles: unique flags, isin, 1d set ops."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import radix_sorting_tpu as rst
+from radix_sorting_tpu import SortConfig
+from radix_sorting_tpu.sets import (intersect1d, isin, setdiff1d, setxor1d,
+                                    union1d, unique)
+
+
+def _np64(x):
+    """Materialize a possibly-two-plane 64-bit result for oracle compare."""
+    return np.asarray(x)
+
+
+# ---------------------------------------------------------------- unique
+
+def test_unique_all_flags_u32(rng):
+    x = rng.integers(0, 300, size=20_000, dtype=np.uint32)
+    r = unique(jnp.asarray(x), return_index=True, return_inverse=True,
+               return_counts=True)
+    uq, idx, inv, cnt = np.unique(x, return_index=True, return_inverse=True,
+                                  return_counts=True)
+    k = len(uq)
+    assert int(r.num_unique) == k
+    assert np.array_equal(np.asarray(r.values)[:k], uq)
+    assert np.array_equal(np.asarray(r.index)[:k], idx)
+    assert np.array_equal(np.asarray(r.inverse), inv)
+    assert np.array_equal(np.asarray(r.counts)[:k], cnt)
+    # padding: values past num_unique hold the domain maximum, counts 0
+    assert np.all(np.asarray(r.values)[k:] == np.uint32(0xFFFFFFFF))
+    assert np.all(np.asarray(r.counts)[k:] == 0)
+
+
+def test_unique_reconstructs_input(rng):
+    x = rng.standard_normal(5_000).astype(np.float32)
+    x = np.repeat(x[:500], 10)
+    rng.shuffle(x)
+    r = unique(jnp.asarray(x), return_inverse=True)
+    assert np.array_equal(np.asarray(r.values)[np.asarray(r.inverse)], x)
+
+
+def test_unique_first_occurrence_index_ties(rng):
+    # many duplicates: index must be the FIRST occurrence (stable rank)
+    x = rng.integers(0, 8, size=4_000, dtype=np.int32)
+    r = unique(jnp.asarray(x), return_index=True)
+    uq, idx = np.unique(x, return_index=True)
+    k = len(uq)
+    assert np.array_equal(np.asarray(r.index)[:k], idx)
+
+
+def test_unique_signed_and_floats(rng):
+    for x in (rng.integers(-1000, 1000, size=10_000, dtype=np.int32),
+              np.repeat(rng.standard_normal(777).astype(np.float32), 3)):
+        r = unique(jnp.asarray(x), return_counts=True)
+        uq, cnt = np.unique(x, return_counts=True)
+        k = len(uq)
+        assert int(r.num_unique) == k
+        assert np.array_equal(np.asarray(r.values)[:k], uq)
+        assert np.array_equal(np.asarray(r.counts)[:k], cnt)
+
+
+def test_unique_u64_no_x64(rng):
+    x = rng.integers(0, 1 << 64, size=6_000, dtype=np.uint64)
+    x = np.concatenate([x, x[:1_000]])  # force duplicates
+    r = unique(x, return_counts=True, size=7_000)
+    uq, cnt = np.unique(x, return_counts=True)
+    k = len(uq)
+    assert int(r.num_unique) == k
+    assert np.array_equal(_np64(r.values)[:k].astype(np.uint64), uq)
+    assert np.array_equal(np.asarray(r.counts)[:k], cnt)
+
+
+def test_unique_descending(rng):
+    x = rng.integers(0, 100, size=3_000, dtype=np.uint16)
+    r = unique(jnp.asarray(x), config=SortConfig(descending=True))
+    uq = np.unique(x)[::-1]
+    assert np.array_equal(np.asarray(r.values)[: len(uq)], uq)
+
+
+def test_unique_truncated_size(rng):
+    x = rng.integers(0, 1000, size=10_000, dtype=np.uint32)
+    r = unique(jnp.asarray(x), size=10, return_counts=True)
+    uq = np.unique(x)
+    assert int(r.num_unique) == len(uq)       # exact regardless of size
+    assert np.array_equal(np.asarray(r.values), uq[:10])
+
+
+def test_unique_bitwise_zero_semantics():
+    # KDF order: -0.0 and +0.0 are DISTINCT values (numpy collapses them)
+    x = jnp.asarray(np.array([0.0, -0.0, 1.0, -0.0, 0.0], np.float32))
+    r = unique(x, return_counts=True)
+    assert int(r.num_unique) == 3
+    v = np.asarray(r.values)[:3]
+    assert np.signbit(v[0]) and v[0] == 0.0    # -0.0 sorts first
+    assert not np.signbit(v[1]) and v[1] == 0.0
+    assert np.array_equal(np.asarray(r.counts)[:3], [2, 2, 1])
+
+
+def test_unique_empty_and_jit(rng):
+    r = unique(jnp.zeros((0,), jnp.uint32), return_inverse=True,
+               return_counts=True, size=4)
+    assert int(r.num_unique) == 0 and r.inverse.shape == (0,)
+    x = rng.integers(0, 50, size=2_000, dtype=np.uint32)
+    f = jax.jit(lambda a: unique(a, return_index=True, return_inverse=True,
+                                 return_counts=True, size=64))
+    r = f(jnp.asarray(x))
+    uq = np.unique(x)
+    assert int(r.num_unique) == len(uq)
+    assert np.array_equal(np.asarray(r.values)[: len(uq)], uq)
+
+
+# ---------------------------------------------------------------- set ops
+
+_OPS = [(union1d, np.union1d), (intersect1d, np.intersect1d),
+        (setdiff1d, np.setdiff1d), (setxor1d, np.setxor1d)]
+
+
+@pytest.mark.parametrize("op,ref", _OPS, ids=[o.__name__ for o, _ in _OPS])
+def test_setops_u32(op, ref, rng):
+    a = rng.integers(0, 400, size=5_000, dtype=np.uint32)
+    b = rng.integers(200, 600, size=3_000, dtype=np.uint32)
+    vals, cnt = op(jnp.asarray(a), jnp.asarray(b))
+    want = ref(a, b)
+    assert int(cnt) == len(want)
+    assert np.array_equal(np.asarray(vals)[: len(want)], want)
+    assert np.all(np.asarray(vals)[len(want):] == np.uint32(0xFFFFFFFF))
+
+
+@pytest.mark.parametrize("op,ref", _OPS, ids=[o.__name__ for o, _ in _OPS])
+def test_setops_floats(op, ref, rng):
+    # shifted positive: np.round can emit -0.0, which numpy's set ops
+    # collapse with +0.0 while the KDF bitwise order keeps them distinct
+    a = np.abs(np.round(rng.standard_normal(4_000).astype(np.float32), 2)) + 1
+    b = np.abs(np.round(rng.standard_normal(4_000).astype(np.float32), 2)) + 1
+    vals, cnt = op(jnp.asarray(a), jnp.asarray(b))
+    want = ref(a, b)
+    assert int(cnt) == len(want)
+    assert np.array_equal(np.asarray(vals)[: len(want)], want)
+
+
+@pytest.mark.parametrize("op,ref", _OPS, ids=[o.__name__ for o, _ in _OPS])
+def test_setops_i64_no_x64(op, ref, rng):
+    a = rng.integers(-(1 << 62), 1 << 62, size=3_000, dtype=np.int64)
+    b = np.concatenate([a[:1_000],
+                        rng.integers(-(1 << 62), 1 << 62, size=2_000,
+                                     dtype=np.int64)])
+    vals, cnt = op(a, b)
+    want = ref(a, b)
+    assert int(cnt) == len(want)
+    assert np.array_equal(_np64(vals)[: len(want)].astype(np.int64), want)
+
+
+@pytest.mark.parametrize("op,ref", _OPS, ids=[o.__name__ for o, _ in _OPS])
+def test_setops_one_side_empty(op, ref, rng):
+    a = rng.integers(0, 50, size=1_000, dtype=np.int32)
+    e = np.zeros((0,), np.int32)
+    for x, y in ((a, e), (e, a), (e, e)):
+        vals, cnt = op(jnp.asarray(x), jnp.asarray(y))
+        want = ref(x, y)
+        assert int(cnt) == len(want)
+        assert np.array_equal(np.asarray(vals)[: len(want)], want)
+
+
+def test_setops_jit_and_size(rng):
+    a = rng.integers(0, 100, size=2_000, dtype=np.uint32)
+    b = rng.integers(50, 150, size=2_000, dtype=np.uint32)
+    f = jax.jit(lambda x, y: intersect1d(x, y, size=64))
+    vals, cnt = f(jnp.asarray(a), jnp.asarray(b))
+    want = np.intersect1d(a, b)
+    assert int(cnt) == len(want)
+    assert np.array_equal(np.asarray(vals)[: len(want)], want)
+    # oversized output: padded with the domain maximum
+    vals, cnt = union1d(jnp.asarray(a[:10]), jnp.asarray(b[:10]), size=100)
+    k = int(cnt)
+    assert np.array_equal(np.asarray(vals)[:k], np.union1d(a[:10], b[:10]))
+    assert np.all(np.asarray(vals)[k:] == np.uint32(0xFFFFFFFF))
+
+
+def test_setops_dtype_mismatch():
+    with pytest.raises(TypeError):
+        union1d(jnp.zeros(4, jnp.uint32), jnp.zeros(4, jnp.int32))
+
+
+def test_setops_descending(rng):
+    a = rng.integers(0, 30, size=500, dtype=np.uint8)
+    b = rng.integers(15, 45, size=500, dtype=np.uint8)
+    vals, cnt = setdiff1d(jnp.asarray(a), jnp.asarray(b),
+                          config=SortConfig(descending=True))
+    want = np.setdiff1d(a, b)[::-1]
+    assert int(cnt) == len(want)
+    assert np.array_equal(np.asarray(vals)[: len(want)], want)
+
+
+# ---------------------------------------------------------------- isin
+
+def test_isin_vs_numpy(rng):
+    el = rng.integers(0, 1000, size=8_000, dtype=np.uint32)
+    te = rng.integers(500, 1500, size=4_000, dtype=np.uint32)
+    got = np.asarray(isin(jnp.asarray(el), jnp.asarray(te)))
+    assert np.array_equal(got, np.isin(el, te))
+
+
+def test_isin_floats_and_u64(rng):
+    el = np.abs(np.round(rng.standard_normal(3_000).astype(np.float32), 2)) + 1
+    te = np.abs(np.round(rng.standard_normal(3_000).astype(np.float32), 2)) + 1
+    assert np.array_equal(np.asarray(isin(jnp.asarray(el), jnp.asarray(te))),
+                          np.isin(el, te))
+    el64 = rng.integers(0, 1 << 64, size=2_000, dtype=np.uint64)
+    te64 = np.concatenate([el64[:500],
+                           rng.integers(0, 1 << 64, size=1_500,
+                                        dtype=np.uint64)])
+    assert np.array_equal(np.asarray(isin(el64, te64)), np.isin(el64, te64))
+
+
+def test_isin_empty(rng):
+    el = rng.integers(0, 10, size=100, dtype=np.int32)
+    assert np.asarray(isin(jnp.asarray(el), jnp.zeros((0,), jnp.int32))).sum() == 0
+    assert isin(jnp.zeros((0,), jnp.int32), jnp.asarray(el)).shape == (0,)
