@@ -6,7 +6,7 @@
 #
 # Steps (see memory ledger / ROADMAP "round-3 on-chip verification"):
 #   0. canary health gate (abort early if the slice is degraded)
-#   1. drive_tpu.py — all 22 surfaces, host-oracle verified
+#   1. drive_tpu.py — all 25 surfaces, host-oracle verified
 #   2. exp_device_probe.py — u64 probe numbers (pending since mid round 3)
 #   3. exp_searchsorted.py — method-default numbers for ROADMAP
 #   4. on-chip dtype suites (float8/bfloat16/int4 + extras incl. bincount)
@@ -34,8 +34,9 @@ QTO=3600 step probe64  python scripts/exp_device_probe.py
 QTO=3600 step ssorted  python scripts/exp_searchsorted.py
 QTO=2400 RST_TEST_PLATFORM=axon step dtypes \
     python -m pytest tests/test_sort.py tests/test_kdf.py \
-    tests/test_extras.py tests/test_records_rank.py -q -p no:cacheprovider -k \
-    "float8 or bfloat16 or int4 or searchsorted or bincount or bytes_payload" \
+    tests/test_extras.py tests/test_records_rank.py tests/test_sets.py \
+    -q -p no:cacheprovider -k \
+    "float8 or bfloat16 or int4 or searchsorted or bincount or bytes_payload or unique or isin or setops" \
     || true
 QTO=2400 step bench    python bench.py
 

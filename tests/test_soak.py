@@ -290,3 +290,53 @@ def test_soak_bytes_payload(seed):
         m = raw if seed % 4 else raw.view(np.int8)
         _, pv = rst.sort_pairs(jnp.asarray(k), {"m": jnp.asarray(m)})
         assert np.array_equal(np.asarray(pv["m"]), m[order])
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_soak_set_routines(seed):
+    """Randomized sweep of sets.py: unique with every flag, one binary set
+    op, and isin, vs the numpy oracles. Integer dtypes plus positive-finite
+    f32 (numpy's unique/set ops collapse -0.0/+0.0 and NaNs where the KDF
+    bitwise order keeps them distinct — covered by directed tests instead)."""
+    from radix_sorting_tpu import sets
+    r = np.random.Generator(np.random.PCG64(0x5E75 + seed))
+    n = int(r.integers(2, 50_000))
+    m = int(r.integers(1, 50_000))
+    kd = [np.uint8, np.uint16, np.uint32, np.uint64,
+          np.int16, np.int32, np.int64, np.float32][seed % 8]
+    dom = 1 << int(r.integers(2, 20))
+
+    def gen(k):
+        if kd is np.float32:
+            return (r.integers(0, dom, size=k).astype(np.float32)
+                    * np.float32(0.5))
+        info = np.iinfo(kd)
+        lo = 0 if np.dtype(kd).kind == "u" else max(int(info.min), -(dom // 2))
+        hi = min(lo + dom, int(info.max))
+        return r.integers(lo, hi, size=k, dtype=kd, endpoint=True)
+
+    a, b = gen(n), gen(m)
+    aj = a if a.dtype.itemsize == 8 else jnp.asarray(a)
+    bj = b if b.dtype.itemsize == 8 else jnp.asarray(b)
+
+    res = sets.unique(aj, return_index=True, return_inverse=True,
+                      return_counts=True)
+    uq, idx, inv, cnt = np.unique(a, return_index=True, return_inverse=True,
+                                  return_counts=True)
+    k = len(uq)
+    assert int(res.num_unique) == k
+    assert np.array_equal(np.asarray(res.values)[:k].astype(a.dtype), uq)
+    assert np.array_equal(np.asarray(res.index)[:k], idx)
+    assert np.array_equal(np.asarray(res.inverse), inv)
+    assert np.array_equal(np.asarray(res.counts)[:k], cnt)
+
+    op, ref = [(sets.union1d, np.union1d), (sets.intersect1d, np.intersect1d),
+               (sets.setdiff1d, np.setdiff1d), (sets.setxor1d, np.setxor1d)
+               ][seed % 4]
+    vals, c = op(aj, bj)
+    want = ref(a, b)
+    assert int(c) == len(want)
+    assert np.array_equal(np.asarray(vals)[: len(want)].astype(a.dtype), want)
+
+    got = np.asarray(sets.isin(aj, bj))
+    assert np.array_equal(got, np.isin(a, b))
