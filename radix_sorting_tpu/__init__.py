@@ -27,6 +27,7 @@ from .api import (
 from .config import DEFAULT_CONFIG, SortConfig, Strategy
 from .extras import (
     bincount,
+    group_reduce,
     lexsort,
     merge_sorted,
     searchsorted,
@@ -70,6 +71,7 @@ __all__ = [
     "nth_element",
     "stable_partition",
     "value_counts",
+    "group_reduce",
     "unique_sorted",
     "unique",
     "UniqueResult",

@@ -8,6 +8,7 @@ extraction (the generalization of `bitmap_sort_16.c` to wide domains).
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -21,7 +22,7 @@ from .ops import hw_engine, kdf
 __all__ = ["lexsort", "unique_sorted", "segmented_sort", "segmented_argsort",
            "top_k_batched", "searchsorted", "bincount",
            "top_k", "merge_sorted", "nth_element", "stable_partition",
-           "value_counts"]
+           "value_counts", "group_reduce"]
 
 
 def _word_pairs(words, dtype):
@@ -570,3 +571,109 @@ def top_k_batched(x, k: int, *, axis: int = -1, largest: bool = True,
     top_words = tuple(w[..., :k] for w in out[: len(words)])
     vals = _decode(top_words, dtype, largest)
     return _restore_axis(vals, axis), _restore_axis(out[-1][..., :k], axis)
+
+
+def group_reduce(keys, values, *, reduce: str = "sum",
+                 size: Optional[int] = None,
+                 config: SortConfig = DEFAULT_CONFIG):
+    """Per-unique-key reduction of ``values`` (a sort-native group-by).
+
+    Returns ``(unique_keys, reduced, num_groups)`` with the fixed-shape
+    contract of :func:`value_counts`: static length ``size`` (default n),
+    group keys sorted (``config.descending`` applies to the keys), slots
+    past ``num_groups`` hold a maximal padding key with a zero reduction.
+    ``reduce`` is ``'sum'``, ``'mean'``, ``'min'`` or ``'max'`` (for counts
+    use :func:`value_counts`).
+
+    TPU design: ONE unstable keys-only sort of the ``(key, value)``
+    composite word planes serves every reduction — within each equal-key run
+    the values land value-sorted, so ``min``/``max`` are the run's boundary
+    elements and ``sum`` is a cumulative-sum difference at the boundaries.
+    No scatter/segment_sum formulation anywhere (a scatter-add is a
+    per-element op, measured dead on this hardware — ROADMAP).
+
+    ``min``/``max`` follow the KDF total order (a NaN payload in the values
+    is greater than +inf; -0.0 < +0.0). ``sum``/``mean`` accumulate
+    sub-32-bit inputs in 32-bit (f32 / i32 / u32) and return that
+    accumulator dtype; 32/64-bit inputs accumulate natively. The running
+    cumulative sum spans the whole array: integer group sums stay exact for
+    any input (two's-complement differences cancel the prefix), but float
+    group sums see the rounding of a prefix that can be much larger than the
+    group — for tight float sums over huge arrays, accumulate in f64 on the
+    host or segment the input.
+    """
+    from .api import _decode
+
+    if reduce not in ("sum", "mean", "min", "max"):
+        raise ValueError(
+            f"reduce must be sum|mean|min|max, got {reduce!r}")
+    kw, kdtype = _as_words(keys, config.descending)
+    vw, vdtype = _as_words(values, False)
+    if kw[0].shape != vw[0].shape:
+        raise ValueError("values must match the keys' length")
+    n = int(kw[0].shape[0])
+    if size is None:
+        size = n
+    host64 = (isinstance(vdtype, np.dtype) and vdtype.itemsize == 8
+              and not jax.config.jax_enable_x64)
+    if n == 0:
+        zk = unique_sorted(keys, size=size, config=config)[0]
+        if reduce == "mean":
+            zv = jnp.zeros((size,), jnp.float32)
+        elif host64:
+            zv = np.zeros((size,), vdtype)
+        else:
+            acc = _accum_dtype(vdtype) if reduce == "sum" else vdtype
+            zv = jnp.zeros((size,), acc)
+        return zk, zv, jnp.int32(0)
+
+    sw = hw_engine.sort_words(kw + vw, (), stable=False)[0]
+    skw, svw = sw[: len(kw)], sw[len(kw):]
+
+    neq = functools.reduce(jnp.logical_or,
+                           [w[1:] != w[:-1] for w in skw])
+    is_new = jnp.concatenate([jnp.ones((1,), jnp.bool_), neq])
+    num_groups = jnp.sum(is_new, dtype=jnp.int32)
+    starts, = jnp.nonzero(is_new, size=size, fill_value=n)
+    live = jnp.arange(size) < num_groups
+    at_start = jnp.clip(starts, 0, n - 1)
+    ones = np.uint32(0xFFFFFFFF)
+    ukeys = _decode(tuple(jnp.where(live, w[at_start], ones) for w in skw),
+                    kdtype, config.descending)
+
+    sv = _decode(svw, vdtype, False)
+    bounded = jnp.concatenate([starts, jnp.full((1,), n, starts.dtype)])
+    ends = jnp.clip(bounded[1:] - 1, 0, n - 1)  # last index of each run
+
+    if reduce in ("min", "max"):
+        pos = at_start if reduce == "min" else ends
+        if host64:  # 64-bit values without x64: numpy gather host-side
+            out = sv[np.asarray(pos)]
+            out[~np.asarray(live)] = 0
+            return ukeys, out, num_groups
+        return ukeys, jnp.where(live, sv[pos], 0), num_groups
+
+    if host64:
+        c = np.concatenate([np.zeros((1,), sv.dtype), np.cumsum(sv)])
+        tot = c[np.asarray(ends) + 1] - c[np.asarray(at_start)]
+        tot[~np.asarray(live)] = 0
+    else:
+        acc = _accum_dtype(vdtype)
+        c = jnp.concatenate([jnp.zeros((1,), acc),
+                             jnp.cumsum(sv.astype(acc))])
+        tot = jnp.where(live, c[ends + 1] - c[at_start], 0)
+    if reduce == "sum":
+        return ukeys, tot, num_groups
+    lens = jnp.maximum(bounded[1:] - bounded[:-1], 1)
+    mean = jnp.asarray(tot, jnp.float32) / lens.astype(jnp.float32)
+    return ukeys, jnp.where(live, mean, 0.0), num_groups
+
+
+def _accum_dtype(vdtype):
+    """32-bit accumulator for sub-32-bit inputs; native width otherwise."""
+    d = np.dtype(vdtype) if isinstance(vdtype, np.dtype) else jnp.dtype(vdtype)
+    if kdf.kind(d) == "f":
+        return d if kdf.key_bits(d) >= 32 else jnp.float32
+    if d.itemsize >= 4 or d == jnp.dtype(jnp.bool_):
+        return jnp.int32 if d == jnp.dtype(jnp.bool_) else d
+    return jnp.uint32 if d.kind == "u" else jnp.int32

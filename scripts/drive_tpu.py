@@ -194,6 +194,20 @@ def main() -> int:
     check("isin (membership via searchsorted)",
           np.array_equal(got, np.isin(sa[:100_000], sb[:100_000])))
 
+    # group-by reduction: one unstable (key, value) composite sort
+    from radix_sorting_tpu.extras import group_reduce
+    gk = (x & np.uint32(0x3FF)).astype(np.uint32)
+    gv = (x >> np.uint32(10)).astype(np.int32) & 0xFFFF
+    uk, tot, ng = group_reduce(jnp.asarray(gk), jnp.asarray(gv), reduce="sum")
+    uq, inv = np.unique(gk, return_inverse=True)
+    want = np.zeros(len(uq), np.int64)
+    np.add.at(want, inv, gv.astype(np.int64))
+    check("group_reduce sum (composite sort, cumsum-diff)",
+          int(ng) == len(uq)
+          and np.array_equal(np.asarray(uk)[: len(uq)], uq)
+          and np.array_equal(np.asarray(tot)[: len(uq)].astype(np.int64),
+                             want))
+
     mesh = make_sort_mesh(1)
     sp, counts, ovf = distributed_sort_balanced_u32(xj, mesh)
     check("distributed balanced (1-chip mesh)",

@@ -220,3 +220,97 @@ def test_isin_empty(rng):
     el = rng.integers(0, 10, size=100, dtype=np.int32)
     assert np.asarray(isin(jnp.asarray(el), jnp.zeros((0,), jnp.int32))).sum() == 0
     assert isin(jnp.zeros((0,), jnp.int32), jnp.asarray(el)).shape == (0,)
+
+
+# ------------------------------------------------------------- group_reduce
+
+def _np_group(keys, values, reduce):
+    uq, inv = np.unique(keys, return_inverse=True)
+    if reduce == "sum":
+        out = np.zeros(len(uq), np.result_type(values.dtype, np.int32)
+                       if values.dtype.kind in "iub" else values.dtype)
+        np.add.at(out, inv, values)
+    elif reduce == "mean":
+        s = np.zeros(len(uq), np.float64)
+        np.add.at(s, inv, values.astype(np.float64))
+        out = (s / np.bincount(inv)).astype(np.float32)
+    elif reduce == "min":
+        out = np.full(len(uq), values.max(), values.dtype)
+        np.minimum.at(out, inv, values)
+    else:
+        out = np.full(len(uq), values.min(), values.dtype)
+        np.maximum.at(out, inv, values)
+    return uq, out
+
+
+@pytest.mark.parametrize("reduce", ["sum", "mean", "min", "max"])
+def test_group_reduce_u32_keys(reduce, rng):
+    from radix_sorting_tpu.extras import group_reduce
+    k = rng.integers(0, 200, size=20_000, dtype=np.uint32)
+    v = rng.integers(0, 1000, size=20_000, dtype=np.int32)
+    uk, out, ng = group_reduce(jnp.asarray(k), jnp.asarray(v), reduce=reduce)
+    uq, want = _np_group(k, v, reduce)
+    assert int(ng) == len(uq)
+    assert np.array_equal(np.asarray(uk)[: len(uq)], uq)
+    got = np.asarray(out)[: len(uq)]
+    if reduce == "mean":
+        assert np.allclose(got, want, rtol=1e-5)
+    else:
+        assert np.array_equal(got, want)
+    assert np.all(np.asarray(out)[len(uq):] == 0)
+
+
+def test_group_reduce_float_values(rng):
+    from radix_sorting_tpu.extras import group_reduce
+    k = rng.integers(0, 50, size=5_000, dtype=np.int16)
+    v = rng.standard_normal(5_000).astype(np.float32)
+    for reduce in ("min", "max"):
+        uk, out, ng = group_reduce(jnp.asarray(k), jnp.asarray(v),
+                                   reduce=reduce)
+        uq, want = _np_group(k, v, reduce)
+        assert np.array_equal(np.asarray(out)[: len(uq)], want)
+    uk, out, ng = group_reduce(jnp.asarray(k), jnp.asarray(v), reduce="sum")
+    uq, want = _np_group(k, v, "sum")
+    assert np.allclose(np.asarray(out)[: len(uq)], want, rtol=1e-4, atol=1e-3)
+
+
+def test_group_reduce_f16_accumulates_f32(rng):
+    from radix_sorting_tpu.extras import group_reduce
+    k = rng.integers(0, 4, size=8_192, dtype=np.uint8)
+    v = jnp.ones((8_192,), jnp.float16)  # f16 cumsum would saturate at 2048
+    uk, out, ng = group_reduce(jnp.asarray(k), v, reduce="sum")
+    assert out.dtype == jnp.float32
+    assert np.allclose(np.asarray(out)[: int(ng)],
+                       np.bincount(k).astype(np.float32))
+
+
+def test_group_reduce_u64_values_no_x64(rng):
+    from radix_sorting_tpu.extras import group_reduce
+    k = rng.integers(0, 30, size=3_000, dtype=np.uint32)
+    v = rng.integers(0, 1 << 63, size=3_000, dtype=np.uint64)
+    uk, out, ng = group_reduce(jnp.asarray(k), v, reduce="max")
+    uq, want = _np_group(k, v, "max")
+    assert np.array_equal(np.asarray(out)[: len(uq)].astype(np.uint64), want)
+    uk, out, ng = group_reduce(jnp.asarray(k), v, reduce="sum")
+    sums = np.zeros(len(uq), np.uint64)
+    np.add.at(sums, np.unique(k, return_inverse=True)[1], v)
+    assert np.array_equal(np.asarray(out)[: len(uq)].astype(np.uint64), sums)
+
+
+def test_group_reduce_jit_and_edges(rng):
+    from radix_sorting_tpu.extras import group_reduce
+    k = rng.integers(0, 20, size=1_000, dtype=np.uint32)
+    v = rng.integers(0, 100, size=1_000, dtype=np.uint32)
+    f = jax.jit(lambda a, b: group_reduce(a, b, reduce="mean", size=32))
+    uk, out, ng = f(jnp.asarray(k), jnp.asarray(v))
+    uq, want = _np_group(k, v, "mean")
+    assert int(ng) == len(uq)
+    assert np.allclose(np.asarray(out)[: len(uq)], want, rtol=1e-5)
+    uk, out, ng = group_reduce(jnp.zeros((0,), jnp.uint32),
+                               jnp.zeros((0,), jnp.int32), size=4)
+    assert int(ng) == 0 and out.shape == (4,)
+    with pytest.raises(ValueError):
+        group_reduce(jnp.zeros(4, jnp.uint32), jnp.zeros(3, jnp.int32))
+    with pytest.raises(ValueError):
+        group_reduce(jnp.zeros(4, jnp.uint32), jnp.zeros(4, jnp.int32),
+                     reduce="prod")
