@@ -595,7 +595,9 @@ def group_reduce(keys, values, *, reduce: str = "sum",
     ``min``/``max`` follow the KDF total order (a NaN payload in the values
     is greater than +inf; -0.0 < +0.0). ``sum``/``mean`` accumulate
     sub-32-bit inputs in 32-bit (f32 / i32 / u32) and return that
-    accumulator dtype; 32/64-bit inputs accumulate natively. The running
+    accumulator dtype; 32/64-bit inputs accumulate natively. ``mean`` is
+    float32 on the device path (values of magnitude past 2^24 round) and
+    exact float64 for 64-bit numpy values (which reduce host-side). The running
     cumulative sum spans the whole array: integer group sums stay exact for
     any input (two's-complement differences cancel the prefix), but float
     group sums see the rounding of a prefix that can be much larger than the
@@ -665,6 +667,10 @@ def group_reduce(keys, values, *, reduce: str = "sum",
     if reduce == "sum":
         return ukeys, tot, num_groups
     lens = jnp.maximum(bounded[1:] - bounded[:-1], 1)
+    if host64:  # exact sums exist host-side: divide in f64, don't round away
+        mean = tot.astype(np.float64) / np.asarray(lens, np.float64)
+        mean[~np.asarray(live)] = 0.0
+        return ukeys, mean, num_groups
     mean = jnp.asarray(tot, jnp.float32) / lens.astype(jnp.float32)
     return ukeys, jnp.where(live, mean, 0.0), num_groups
 

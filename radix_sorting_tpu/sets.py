@@ -57,12 +57,26 @@ def _neq_prev(words):
 _ONES = np.uint32(0xFFFFFFFF)
 
 
-def _empty_like(x, size: int):
-    """(size,) zeros of x's dtype, preserving 64-bit numpy without x64."""
-    if isinstance(x, np.ndarray) and x.dtype.itemsize == 8 \
+def _max_pad(x, size: int, config: SortConfig):
+    """(size,) array of the KDF-order-last value of x's dtype.
+
+    All-ones encoded words decode to the value that sorts last under the
+    configured order — the padding convention of every fixed-shape result in
+    this module, kept even by the empty-input early returns so that padded
+    outputs always sort after real values when composed downstream.
+    """
+    words, dtype = _as_words(x, config.descending)
+    if isinstance(dtype, np.dtype) and dtype.itemsize == 8 \
             and not jax.config.jax_enable_x64:
-        return np.zeros((size,), x.dtype)
-    return jnp.zeros((size,), jnp.asarray(x).dtype)
+        planes = tuple(np.full((size,), _ONES, np.uint32) for _ in words)
+    else:
+        planes = tuple(jnp.full((size,), _ONES, jnp.uint32) for _ in words)
+    return _decode(planes, dtype, config.descending)
+
+
+def _dtype_of(x):
+    """Input dtype without encoding (64-bit numpy stays 64-bit)."""
+    return x.dtype if isinstance(x, np.ndarray) else jnp.asarray(x).dtype
 
 
 class UniqueResult(NamedTuple):
@@ -112,11 +126,27 @@ def unique(x, *, return_index: bool = False, return_inverse: bool = False,
     if n == 0:
         z32 = jnp.zeros((size,), jnp.int32)
         return UniqueResult(
-            _empty_like(x, size),
+            _max_pad(x, size, config),
             jnp.zeros((size,), index_dtype) if return_index else None,
             jnp.zeros((0,), jnp.int32) if return_inverse else None,
             z32 if return_counts else None,
             jnp.int32(0))
+
+    if not (return_index or return_inverse):
+        # no permutation requested: ride api.sort's full strategy dispatch
+        # (counting/bitmap tiers for narrow domains) instead of the raw
+        # sorter, and the shared run-boundary machinery
+        from . import api
+        from .extras import _sorted_boundaries
+        vals, lens, k = _sorted_boundaries(api.sort(x, config=config), size)
+        pad = _max_pad(x, size, config)
+        if isinstance(vals, np.ndarray):
+            live = np.arange(size) < int(k)
+            vals = np.where(live, vals, pad)
+        else:
+            vals = jnp.where(jnp.arange(size) < k, vals, pad)
+        return UniqueResult(vals, None, None,
+                            lens if return_counts else None, k)
 
     words, dtype = _as_words(x, config.descending)
     if return_index or return_inverse:
@@ -212,9 +242,12 @@ def _compact_runs(sw, dtype, starts, emit, n, size, config: SortConfig):
 
 def _binary_setop(a, b, which: str, size: Optional[int],
                   config: SortConfig):
-    na, nb = int(jnp.shape(a)[0]), int(jnp.shape(b)[0])
     if np.ndim(a) != 1 or np.ndim(b) != 1:
         raise ValueError("set-op inputs must be 1-D")
+    if jnp.dtype(_dtype_of(a)) != jnp.dtype(_dtype_of(b)):
+        raise TypeError(f"set-op inputs must share a dtype, "
+                        f"got {_dtype_of(a)} and {_dtype_of(b)}")
+    na, nb = int(jnp.shape(a)[0]), int(jnp.shape(b)[0])
     default = {"union": na + nb, "intersect": min(na, nb),
                "diff": na, "xor": na + nb}[which]
     if size is None:
@@ -223,10 +256,10 @@ def _binary_setop(a, b, which: str, size: Optional[int],
         # one side empty: the op degenerates to unique() of one side or to
         # an empty result — no merged sort needed
         if which == "intersect" or (na == 0 and which == "diff"):
-            return _empty_like(a if na else b, size), jnp.int32(0)
+            return _max_pad(a, size, config), jnp.int32(0)
         keep = a if nb == 0 else b
         if int(jnp.shape(keep)[0]) == 0:
-            return _empty_like(keep, size), jnp.int32(0)
+            return _max_pad(keep, size, config), jnp.int32(0)
         u = unique(keep, size=size, config=config)
         return u.values, u.num_unique
 
@@ -244,7 +277,10 @@ def union1d(a, b, *, size: Optional[int] = None,
 
     ``values`` has static length ``size`` (default ``len(a) + len(b)``, the
     exact-result bound); slots past ``count`` hold a maximal padding value.
-    A ``size`` below the true union keeps the ``size`` smallest values.
+    ``count`` is always the exact result cardinality: with a ``size`` below
+    it, ``values`` keeps only the first ``size`` results (the order-first
+    ones) — index with ``min(count, size)``, like :func:`unique`'s
+    ``num_unique``. Same contract for all four set ops.
     """
     return _binary_setop(a, b, "union", size, config)
 
@@ -253,7 +289,8 @@ def intersect1d(a, b, *, size: Optional[int] = None,
                 config: SortConfig = DEFAULT_CONFIG):
     """Sorted intersection (values present in both): ``(values, count)``.
 
-    ``size`` defaults to ``min(len(a), len(b))``, the exact-result bound.
+    ``size`` defaults to ``min(len(a), len(b))``, the exact-result bound;
+    count/truncation contract as :func:`union1d`.
     """
     return _binary_setop(a, b, "intersect", size, config)
 
@@ -262,7 +299,8 @@ def setdiff1d(a, b, *, size: Optional[int] = None,
               config: SortConfig = DEFAULT_CONFIG):
     """Sorted values of ``a`` not present in ``b``: ``(values, count)``.
 
-    ``size`` defaults to ``len(a)``, the exact-result bound.
+    ``size`` defaults to ``len(a)``, the exact-result bound;
+    count/truncation contract as :func:`union1d`.
     """
     return _binary_setop(a, b, "diff", size, config)
 
@@ -271,7 +309,8 @@ def setxor1d(a, b, *, size: Optional[int] = None,
              config: SortConfig = DEFAULT_CONFIG):
     """Sorted values present in exactly one input: ``(values, count)``.
 
-    ``size`` defaults to ``len(a) + len(b)``, the exact-result bound.
+    ``size`` defaults to ``len(a) + len(b)``, the exact-result bound;
+    count/truncation contract as :func:`union1d`.
     """
     return _binary_setop(a, b, "xor", size, config)
 
@@ -280,24 +319,44 @@ def isin(element, test, *, config: SortConfig = DEFAULT_CONFIG):
     """Per-element membership of ``element`` in ``test`` (``np.isin``, 1-D).
 
     Membership is bitwise under the KDF total order (a NaN query matches
-    only a bit-identical NaN). One sort of ``test`` plus two
-    :func:`..extras.searchsorted` passes: an element is present iff its
-    'right' insertion position exceeds its 'left' one — the count of equal
-    keys, with no gather-compare chain (dead on this hardware, ROADMAP).
+    only a bit-identical NaN). Returns a bool array of ``len(element)``.
 
-    Returns a bool array of ``len(element)``.
+    TPU design: TWO fused sorts total, no gathers. Sort 1 orders the tagged
+    concatenation by ``(value, index)`` with test indices in ``[0, n)`` and
+    query indices in ``[n, n+q)`` — one fused plane carries both the
+    tie-break (tests sort before queries within an equal-value run) and the
+    identity for the restore. Membership then falls out of pure prefix
+    algebra: with ``T`` the running count of test elements and ``U`` the
+    value of ``T`` just before each run's start (a cummax carries it across
+    the run, valid because ``T`` is non-decreasing), a query is a member iff
+    ``T > U`` at its position — every test in its run precedes it. Sort 2
+    restores input order (the inverse-permutation-as-sort trick). Compare:
+    membership via two :func:`..extras.searchsorted` passes costs 3 sorts
+    for 32-bit keys and 5 for two-word 64-bit keys.
     """
-    from . import api
-    from .extras import searchsorted
-
     if np.ndim(element) != 1 or np.ndim(test) != 1:
         raise ValueError("isin inputs must be 1-D")
+    if jnp.dtype(_dtype_of(element)) != jnp.dtype(_dtype_of(test)):
+        raise TypeError(f"isin inputs must share a dtype, got "
+                        f"{_dtype_of(element)} and {_dtype_of(test)}")
     q = int(jnp.shape(element)[0])
+    n = int(jnp.shape(test)[0])
     if q == 0:
         return jnp.zeros((0,), jnp.bool_)
-    if int(jnp.shape(test)[0]) == 0:
+    if n == 0:
         return jnp.zeros((q,), jnp.bool_)
-    st = api.sort(test, config=config)
-    lo = searchsorted(st, element, side="left", config=config)
-    hi = searchsorted(st, element, side="right", config=config)
-    return hi > lo
+    ew, _ = _as_words(element, config.descending)
+    tw, _ = _as_words(test, config.descending)
+    words = tuple(jnp.concatenate([t, e]) for t, e in zip(tw, ew))
+    idx = jnp.arange(n + q, dtype=jnp.uint32)
+    out = hw_engine.sort_words(words + (idx,), (), stable=False)[0]
+    sw, sidx = out[:-1], out[-1]
+
+    is_test = (sidx < n).astype(jnp.int32)
+    T = jnp.cumsum(is_test)
+    is_new = jnp.concatenate([jnp.ones((1,), jnp.bool_), _neq_prev(sw)])
+    t_before = jnp.concatenate([jnp.zeros((1,), T.dtype), T[:-1]])
+    U = jax.lax.cummax(jnp.where(is_new, t_before, 0), axis=0)
+    member = T > U
+    _, (restored,) = hw_engine.sort_words((sidx,), (member,), stable=True)
+    return restored[n:]

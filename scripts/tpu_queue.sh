@@ -36,7 +36,7 @@ QTO=2400 RST_TEST_PLATFORM=axon step dtypes \
     python -m pytest tests/test_sort.py tests/test_kdf.py \
     tests/test_extras.py tests/test_records_rank.py tests/test_sets.py \
     -q -p no:cacheprovider -k \
-    "float8 or bfloat16 or int4 or searchsorted or bincount or bytes_payload or unique or isin or setops" \
+    "float8 or bfloat16 or int4 or searchsorted or bincount or bytes_payload or unique or isin or setops or group_reduce" \
     || true
 QTO=2400 step bench    python bench.py
 

@@ -314,3 +314,68 @@ def test_group_reduce_jit_and_edges(rng):
     with pytest.raises(ValueError):
         group_reduce(jnp.zeros(4, jnp.uint32), jnp.zeros(4, jnp.int32),
                      reduce="prod")
+
+
+# ------------------------------------------------- review-fix regressions
+
+def test_unique_counts_only_routes_through_api_sort(rng, monkeypatch):
+    # the no-permutation path must ride api.sort's strategy dispatch
+    # (counting/bitmap tiers), not the raw word sorter
+    import radix_sorting_tpu.api as api_mod
+    calls = []
+    orig = api_mod.sort
+    monkeypatch.setattr(api_mod, "sort",
+                        lambda *a, **k: calls.append(1) or orig(*a, **k))
+    x = rng.integers(0, 200, size=5_000, dtype=np.uint16)
+    r = unique(jnp.asarray(x), return_counts=True)
+    assert calls, "counts-only unique must delegate to api.sort"
+    uq, cnt = np.unique(x, return_counts=True)
+    assert int(r.num_unique) == len(uq)
+    assert np.array_equal(np.asarray(r.values)[: len(uq)], uq)
+    assert np.array_equal(np.asarray(r.counts)[: len(uq)], cnt)
+    # padding stays the domain maximum on the delegated path too
+    assert np.all(np.asarray(r.values)[len(uq):] == np.uint16(0xFFFF))
+
+
+def test_setops_empty_side_validates_and_pads(rng):
+    a = rng.integers(0, 50, size=100, dtype=np.uint32)
+    e = jnp.zeros((0,), jnp.uint32)
+    # dtype mismatch must raise even when one side is empty
+    with pytest.raises(TypeError):
+        union1d(e, jnp.zeros(4, jnp.int32))
+    with pytest.raises(TypeError):
+        isin(jnp.zeros((0,), jnp.uint32), jnp.zeros(4, jnp.int32))
+    # 0-d input: typed ValueError, not IndexError
+    with pytest.raises(ValueError):
+        setdiff1d(jnp.uint32(3), jnp.asarray(a))
+    # empty-side results keep the domain-max padding convention
+    vals, cnt = intersect1d(jnp.asarray(a), e, size=8)
+    assert int(cnt) == 0
+    assert np.all(np.asarray(vals) == np.uint32(0xFFFFFFFF))
+    vals, cnt = union1d(e, e, size=3)
+    assert int(cnt) == 0
+    assert np.all(np.asarray(vals) == np.uint32(0xFFFFFFFF))
+
+
+def test_isin_duplicate_heavy_runs(rng):
+    # runs mixing many tests and many queries at the same value — the
+    # prefix-algebra membership (T > U) must hold for every query in a run
+    el = np.repeat(rng.integers(0, 40, size=200, dtype=np.int32), 20)
+    te = np.repeat(rng.integers(20, 60, size=150, dtype=np.int32), 13)
+    rng.shuffle(el)
+    got = np.asarray(isin(jnp.asarray(el), jnp.asarray(te)))
+    assert np.array_equal(got, np.isin(el, te))
+
+
+def test_group_reduce_mean_64bit_exact(rng):
+    from radix_sorting_tpu.extras import group_reduce
+    k = rng.integers(0, 4, size=64, dtype=np.uint32)
+    base = np.int64(1) << 40
+    v = base + rng.integers(0, 1000, size=64).astype(np.int64)
+    uk, out, ng = group_reduce(jnp.asarray(k), v, reduce="mean")
+    assert isinstance(out, np.ndarray) and out.dtype == np.float64
+    uq, inv = np.unique(k, return_inverse=True)
+    want = np.zeros(len(uq), np.float64)
+    np.add.at(want, inv, v.astype(np.float64))
+    want /= np.bincount(inv)
+    assert np.array_equal(out[: len(uq)], want)  # exact in f64, f32 rounds
