@@ -3,6 +3,7 @@
 from .balanced import (  # noqa: F401
     distributed_argsort_balanced,
     distributed_argsort_balanced_u32,
+    distributed_group_reduce,
     distributed_select,
     distributed_sort_balanced,
     distributed_sort_balanced_u32,

@@ -65,6 +65,7 @@ __all__ = [
     "distributed_sort_pairs_balanced_u32",
     "distributed_select",
     "distributed_unique_sorted",
+    "distributed_group_reduce",
 ]
 
 from ..ops.probes import word_lt
@@ -587,6 +588,193 @@ def distributed_unique_sorted(x, mesh: Mesh, axis_name: str = "shards",
     uniq_words, counts = out[:nplanes], out[nplanes]
     vals = _decode(tuple(uniq_words), dtype, False)
     return vals, counts, overflow
+
+
+def distributed_group_reduce(keys, values, mesh: Mesh,
+                             axis_name: str = "shards",
+                             reduce: str = "sum",
+                             chunk: Optional[int] = None):
+    """Pod-scale group-by reduction: sum/mean/min/max/count per unique key.
+
+    The distributed form of :func:`..extras.group_reduce`, riding the
+    balanced machinery: ONE balanced distributed sort of the ``(key, value)``
+    composite, then per-shard boundary algebra plus a cross-shard merge for
+    the runs that span shard edges.
+
+    The composite sort makes the cross-shard merge almost free: a run's
+    elements are globally ascending *across shards*, so a spanning run's
+    ``max`` is simply its last element in the shard where the run ends (no
+    combine at all), its ``min`` is the value at the run's global start
+    (carried forward), and only ``sum``/``count`` need arithmetic. Each
+    shard publishes a tiny edge summary (first/last key, last run's local
+    partial, single-run flag) via one ``all_gather``; a replicated
+    ``lax.scan`` over the D summaries computes every shard's incoming carry
+    (chains through shards whose whole shard is one run), and a run is
+    emitted exactly once — by the shard where it ends.
+
+    Returns ``(keys_padded, reduced_padded, counts, overflow[=0])``: shard
+    d's first ``counts[d]`` rows are its slice of the globally sorted unique
+    keys with their reductions (``gather_sorted`` assembles either array).
+    ``reduce='count'`` takes ``values=None``. ``sum``/``mean`` accumulate
+    like the local op (sub-32-bit inputs in 32-bit; ``mean`` is float32) and
+    require single-plane (<= 32-bit) values; ``min``/``max`` take any
+    supported value dtype and follow the KDF total order.
+    """
+    from ..api import _as_words, _decode
+    from ..extras import _accum_dtype
+
+    if reduce not in ("sum", "mean", "min", "max", "count"):
+        raise ValueError(
+            f"reduce must be sum|mean|min|max|count, got {reduce!r}")
+    kw, kdtype = _as_words(keys, False)
+    if reduce == "count":
+        if values is not None:
+            raise ValueError("reduce='count' takes values=None")
+        vw, vdtype = (), None
+    else:
+        vw, vdtype = _as_words(values, False)
+        if kw[0].shape != vw[0].shape:
+            raise ValueError("values must match the keys' length")
+        if reduce in ("sum", "mean") and len(vw) > 1:
+            raise ValueError(
+                "distributed sum/mean needs single-plane (<= 32-bit) "
+                "values; 64-bit sums would need x64 cross-shard arithmetic "
+                "— reduce min/max, or pre-scale to 32 bits")
+    nk, nv = len(kw), len(vw)
+
+    out_planes, sort_counts, overflow = _run_balanced(
+        tuple(kw) + tuple(vw), mesh, axis_name, num_key_planes=nk + nv,
+        strict=False, chunk=chunk)
+    D = mesh.shape[axis_name]
+    n_local = int(out_planes[0].shape[0]) // D
+    acc = _accum_dtype(vdtype) if reduce in ("sum", "mean") else None
+
+    def body(*args):
+        kp, vp = args[:nk], args[nk: nk + nv]
+        nvalid = args[nk + nv][0]
+        me = lax.axis_index(axis_name)
+        slot = lax.broadcasted_iota(jnp.int32, (n_local,), 0)
+        valid = slot < nvalid
+        # roll-based neighbor diffs: n_local can be 1 (n <= D), where a
+        # p[1:]-style zero-size slice trips GSPMD sharding inference
+        neq = slot == 0
+        for p in kp:
+            neq = neq | (p != jnp.roll(p, 1))
+        is_new = neq & valid
+        r = jnp.sum(is_new.astype(jnp.int32))
+        starts, = jnp.nonzero(is_new, size=n_local, fill_value=n_local)
+        live = slot < r
+        at = jnp.clip(starts, 0, n_local - 1)
+        nxt = jnp.minimum(
+            jnp.where(slot == n_local - 1, n_local, jnp.roll(starts, -1)),
+            nvalid)
+        ends = jnp.clip(nxt - 1, 0, n_local - 1)
+        lens = jnp.where(live, nxt - starts, 0).astype(jnp.int32)
+        keys_out = tuple(jnp.where(live, p[at], _SENTINEL) for p in kp)
+
+        # local per-run partials (compressed to the front, length n_local)
+        if reduce in ("sum", "mean"):
+            v = _decode((vp[0],), vdtype, False).astype(acc)
+            c0 = jnp.concatenate([jnp.zeros((1,), acc),
+                                  jnp.cumsum(jnp.where(valid, v, 0))])
+            sums = jnp.where(live, c0[ends + 1] - c0[at], 0)
+        if reduce == "min":
+            red_w = tuple(jnp.where(live, p[at], 0) for p in vp)
+        elif reduce == "max":
+            red_w = tuple(jnp.where(live, p[ends], 0) for p in vp)
+
+        # edge summaries -> one all_gather -> replicated carry scan.
+        rl = jnp.clip(r - 1, 0, n_local - 1)  # last run's slot
+        gath = lambda s: lax.all_gather(s, axis_name)          # (D,) + shape
+        g_nonempty = gath(nvalid > 0)
+        g_single = gath(r <= 1)
+        g_first = [gath(p[0]) for p in kp]
+        g_last = [gath(p[jnp.clip(nvalid - 1, 0, n_local - 1)]) for p in kp]
+        link = g_nonempty[1:] & g_nonempty[:-1]                # (D-1,)
+        for f, l in zip(g_first, g_last):
+            link = link & (l[:-1] == f[1:])
+
+        if reduce in ("sum", "mean", "count"):
+            g_tsum = gath(sums[rl]) if reduce != "count" else None
+            g_tlen = gath(lens[rl])
+
+            def step(carry, xs):
+                lnk, single_prev, *trails = xs
+                inc = tuple(
+                    jnp.where(lnk, t + jnp.where(single_prev, c, 0), 0)
+                    for t, c in zip(trails, carry))
+                return inc, inc
+
+            trails = ([g_tsum[:-1], g_tlen[:-1]] if reduce != "count"
+                      else [g_tlen[:-1]])
+            zeros = tuple(jnp.zeros((), t.dtype) for t in trails)
+            _, incs = lax.scan(step, zeros,
+                               (link, g_single[:-1], *trails))
+            inc_me = tuple(
+                jnp.concatenate([jnp.zeros((1,), i.dtype), i])[me]
+                for i in incs)
+        else:  # min carries the run's global-start value; max carries nothing
+            if reduce == "min":
+                g_tw = [gath(w[rl]) for w in red_w]
+
+                def step(carry, xs):
+                    lnk, single_prev, *tw = xs
+                    nw = tuple(jnp.where(single_prev & carry[0], c, t)
+                               for t, c in zip(tw, carry[1:]))
+                    return (lnk, *nw), (lnk, *nw)
+
+                zero_w = tuple(jnp.zeros((), w.dtype) for w in red_w)
+                _, outs = lax.scan(
+                    step, (jnp.zeros((), jnp.bool_), *zero_w),
+                    (link, g_single[:-1], *[w[:-1] for w in g_tw]))
+                has_inc = jnp.concatenate(
+                    [jnp.zeros((1,), jnp.bool_), outs[0]])[me]
+                inc_w = tuple(
+                    jnp.concatenate([jnp.zeros((1,), w.dtype), o])[me]
+                    for w, o in zip(red_w, outs[1:]))
+
+        # emit each run exactly once: the shard where it ends keeps it
+        link_out = jnp.concatenate(
+            [link, jnp.zeros((1,), jnp.bool_)])[me]  # my last run continues
+        emit = jnp.maximum(r - link_out.astype(jnp.int32), 0)
+        live2 = slot < emit
+        keys_out = tuple(jnp.where(live2, w, _SENTINEL) for w in keys_out)
+        if reduce in ("sum", "mean"):
+            sums = sums.at[0].add(inc_me[0])
+            lens = lens.at[0].add(inc_me[1])
+            if reduce == "mean":
+                red = jnp.where(
+                    live2,
+                    sums.astype(jnp.float32)
+                    / jnp.maximum(lens, 1).astype(jnp.float32), 0.0)
+            else:
+                red = jnp.where(live2, sums, 0)
+            return (*keys_out, red, emit[None])
+        if reduce == "count":
+            lens = lens.at[0].add(inc_me[0])
+            return (*keys_out, jnp.where(live2, lens, 0), emit[None])
+        if reduce == "min":
+            red_w = tuple(
+                w.at[0].set(jnp.where(has_inc, iw, w[0]))
+                for w, iw in zip(red_w, inc_w))
+        red_w = tuple(jnp.where(live2, w, 0) for w in red_w)
+        return (*keys_out, *red_w, emit[None])
+
+    n_red = 1 if reduce in ("sum", "mean", "count") else nv
+    mapped = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=tuple(P(axis_name) for _ in range(nk + nv + 1)),
+        out_specs=tuple(P(axis_name) for _ in range(nk + n_red + 1)),
+        check_vma=False,
+    )
+    out = mapped(*out_planes, sort_counts)
+    ukeys = _decode(tuple(out[:nk]), kdtype, False)
+    if reduce in ("min", "max"):
+        reduced = _decode(tuple(out[nk: nk + nv]), vdtype, False)
+    else:
+        reduced = out[nk]
+    return ukeys, reduced, out[-1], overflow
 
 
 def _select_body(planes, ranks, axis_name, n_local):

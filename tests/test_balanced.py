@@ -416,3 +416,115 @@ def test_balanced_pairs_bytes_field(rng, mesh):
     assert np.array_equal(unpad(pv["s"]), names[order])
     assert pv["m"].dtype == jnp.uint8
     assert np.array_equal(unpad(np.asarray(pv["m"])), mat[order])
+
+
+# ------------------------------------------------- distributed_group_reduce
+
+def _np_group_oracle(k, v, reduce):
+    uq, inv = np.unique(k, return_inverse=True)
+    if reduce == "count":
+        return uq, np.bincount(inv)
+    if reduce == "sum":
+        out = np.zeros(len(uq), np.int64 if v.dtype.kind in "iub"
+                       else np.float64)
+        np.add.at(out, inv, v.astype(out.dtype))
+        return uq, out
+    if reduce == "mean":
+        s = np.zeros(len(uq), np.float64)
+        np.add.at(s, inv, v.astype(np.float64))
+        return uq, (s / np.bincount(inv)).astype(np.float32)
+    op = np.minimum if reduce == "min" else np.maximum
+    out = np.full(len(uq), v[0], v.dtype)
+    out[:] = v.max() if reduce == "min" else v.min()
+    getattr(op, "at")(out, inv, v)
+    return uq, out
+
+
+@pytest.mark.parametrize("reduce", ["sum", "mean", "min", "max", "count"])
+def test_distributed_group_reduce(rng, mesh, reduce):
+    from radix_sorting_tpu.parallel import distributed_group_reduce
+    n = (1 << 13) + 101
+    k = rng.integers(0, 150, size=n, dtype=np.uint32)   # runs span shards
+    v = rng.integers(0, 1000, size=n, dtype=np.int32)
+    vals = None if reduce == "count" else jnp.asarray(v)
+    uk, red, counts, ovf = distributed_group_reduce(
+        jnp.asarray(k), vals, mesh, reduce=reduce)
+    assert int(np.asarray(ovf).sum()) == 0
+    got_k = gather_sorted(uk, counts)
+    got_r = gather_sorted(red, counts)
+    uq, want = _np_group_oracle(k, v, reduce)
+    assert np.array_equal(got_k, uq)
+    if reduce == "mean":
+        assert np.allclose(got_r, want, rtol=1e-6)
+    else:
+        assert np.array_equal(got_r.astype(want.dtype), want)
+
+
+def test_distributed_group_reduce_spanning_runs(rng, mesh):
+    # one giant group spanning ALL shards plus a tail of small groups: the
+    # carry must chain through every single-run shard and the run must be
+    # emitted exactly once, with the exact global sum
+    from radix_sorting_tpu.parallel import distributed_group_reduce
+    n = 1 << 13
+    k = np.concatenate([np.zeros(n - 64, np.uint32),
+                        rng.integers(1, 9, size=64, dtype=np.uint32)])
+    v = rng.integers(0, 100, size=n, dtype=np.uint32)
+    pairs = rng.permutation(n)
+    k, v = k[pairs], v[pairs]
+    for reduce in ("sum", "min", "max"):
+        uk, red, counts, ovf = distributed_group_reduce(
+            jnp.asarray(k), jnp.asarray(v), mesh, reduce=reduce)
+        got_k = gather_sorted(uk, counts)
+        got_r = gather_sorted(red, counts)
+        uq, want = _np_group_oracle(k, v, reduce)
+        assert np.array_equal(got_k, uq)
+        assert np.array_equal(got_r.astype(want.dtype), want)
+    # all-equal input: exactly one group
+    uk, red, counts, ovf = distributed_group_reduce(
+        jnp.asarray(np.full(n, 3, np.uint32)),
+        jnp.asarray(np.ones(n, np.uint32)), mesh, reduce="sum")
+    assert np.array_equal(gather_sorted(uk, counts), [3])
+    assert np.array_equal(gather_sorted(red, counts), [n])
+
+
+def test_distributed_group_reduce_dtypes(rng, mesh):
+    from radix_sorting_tpu.parallel import distributed_group_reduce
+    n = 4_096
+    # u64 keys (two planes), f32 values, min/max under the KDF order
+    k = rng.integers(0, 40, size=n, dtype=np.uint64) << np.uint64(40)
+    v = rng.standard_normal(n).astype(np.float32)
+    for reduce in ("min", "max"):
+        uk, red, counts, _ = distributed_group_reduce(
+            k, jnp.asarray(v), mesh, reduce=reduce)
+        uq, want = _np_group_oracle(k, v, reduce)
+        assert np.array_equal(gather_sorted(uk, counts).astype(np.uint64), uq)
+        assert np.array_equal(gather_sorted(red, counts), want)
+    # f16 values accumulate in f32
+    vh = jnp.ones((n,), jnp.float16)
+    uk, red, counts, _ = distributed_group_reduce(
+        jnp.asarray((np.arange(n) % 3).astype(np.uint8)), vh, mesh,
+        reduce="sum")
+    assert red.dtype == jnp.float32
+    assert np.array_equal(gather_sorted(red, counts),
+                          np.bincount(np.arange(n) % 3).astype(np.float32))
+
+
+def test_distributed_group_reduce_small_and_errors(rng, mesh):
+    from radix_sorting_tpu.parallel import distributed_group_reduce
+    # n < D: trailing shards are empty, links must not fire across them
+    k = np.asarray([5, 5, 1], np.uint32)
+    v = np.asarray([10, 20, 7], np.int32)
+    uk, red, counts, _ = distributed_group_reduce(
+        jnp.asarray(k), jnp.asarray(v), mesh, reduce="sum")
+    assert np.array_equal(gather_sorted(uk, counts), [1, 5])
+    assert np.array_equal(gather_sorted(red, counts), [7, 30])
+    with pytest.raises(ValueError):
+        distributed_group_reduce(jnp.asarray(k), jnp.asarray(v), mesh,
+                                 reduce="prod")
+    with pytest.raises(ValueError):
+        distributed_group_reduce(
+            jnp.asarray(k),
+            rng.integers(0, 10, size=3, dtype=np.uint64), mesh, reduce="sum")
+    with pytest.raises(ValueError):
+        distributed_group_reduce(jnp.asarray(k), jnp.asarray(v), mesh,
+                                 reduce="count")
