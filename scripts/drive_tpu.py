@@ -222,6 +222,19 @@ def main() -> int:
     check("distributed_unique_sorted",
           np.array_equal(gather_sorted(vals, counts, ovf), np.unique(xu)))
 
+    from radix_sorting_tpu.parallel import distributed_group_reduce
+    gk = (xu % 211).astype(np.uint32)
+    gvv = (xu >> 4).astype(np.int32)
+    uk, red, counts, ovf = distributed_group_reduce(
+        jnp.asarray(gk), jnp.asarray(gvv), mesh, reduce="sum")
+    uq, inv = np.unique(gk, return_inverse=True)
+    want = np.zeros(len(uq), np.int64)
+    np.add.at(want, inv, gvv.astype(np.int64))
+    check("distributed_group_reduce (1-chip mesh)",
+          np.array_equal(gather_sorted(uk, counts, ovf), uq)
+          and np.array_equal(
+              gather_sorted(red, counts, ovf).astype(np.int64), want))
+
     print("ALL OK" if ok else "FAILURES PRESENT")
     return 0 if ok else 1
 

@@ -143,6 +143,24 @@ def main() -> int:
     got = np.concatenate([vf[d, : c[d]] for d in range(D)])
     check("unique_sorted", np.array_equal(got, np.unique(small_np)))
 
+    # 7) pod-scale group-by: edge-summary all_gather + carry scan across
+    #    PROCESSES (the collective path a single controller cannot exercise)
+    from radix_sorting_tpu.parallel import distributed_group_reduce
+    gk = (small_np % 97).astype(np.uint32)
+    gv = (small_np >> 5).astype(np.int32)
+    uk, red, counts, _ = distributed_group_reduce(
+        make_global(gk), make_global(gv), mesh, reduce="sum")
+    c = replicated_np(counts)
+    kf = replicated_np(uk).reshape(D, -1)
+    rf = replicated_np(red).reshape(D, -1)
+    got_k = np.concatenate([kf[d, : c[d]] for d in range(D)])
+    got_r = np.concatenate([rf[d, : c[d]] for d in range(D)])
+    uq, inv = np.unique(gk, return_inverse=True)
+    want = np.zeros(len(uq), np.int64)
+    np.add.at(want, inv, gv.astype(np.int64))
+    check("group_reduce", np.array_equal(got_k, uq)
+          and np.array_equal(got_r.astype(np.int64), want))
+
     if failures:
         print(f"[{pid}] FAILURES: {failures}", flush=True)
         return 1

@@ -6,7 +6,7 @@
 #
 # Steps (see memory ledger / ROADMAP "round-3 on-chip verification"):
 #   0. canary health gate (abort early if the slice is degraded)
-#   1. drive_tpu.py — all 25 surfaces, host-oracle verified
+#   1. drive_tpu.py — all 27 surfaces, host-oracle verified
 #   2. exp_device_probe.py — u64 probe numbers (pending since mid round 3)
 #   3. exp_searchsorted.py — method-default numbers for ROADMAP
 #   4. on-chip dtype suites (float8/bfloat16/int4 + extras incl. bincount)

@@ -340,3 +340,46 @@ def test_soak_set_routines(seed):
 
     got = np.asarray(sets.isin(aj, bj))
     assert np.array_equal(got, np.isin(a, b))
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_soak_distributed_group_reduce(seed):
+    """Randomized distributed group-by: random mesh size D in [2, 8], random
+    key cardinality (spanning-run pressure at low cardinality), random
+    reduce, random chunking, vs the numpy oracle."""
+    import jax
+    from radix_sorting_tpu.parallel import (distributed_group_reduce,
+                                            gather_sorted, make_sort_mesh)
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device mesh")
+    r = np.random.Generator(np.random.PCG64(0x96D + seed))
+    mesh = make_sort_mesh(int(r.integers(2, 9)))
+    n = int(r.integers(2, 40_000))
+    card = int(r.integers(1, [4, 1 << 16][seed % 2]))  # odd seeds: wide
+    k = r.integers(0, card, size=n, dtype=np.uint32, endpoint=True)
+    reduce = ["sum", "mean", "min", "max", "count"][seed % 5]
+    v = r.integers(0, 1 << 20, size=n, dtype=np.int32)
+    chunk = int(r.integers(1, max(2, n // 3)))
+    uk, red, counts, ovf = distributed_group_reduce(
+        jnp.asarray(k), None if reduce == "count" else jnp.asarray(v),
+        mesh, reduce=reduce, chunk=chunk)
+    assert int(np.asarray(ovf).sum()) == 0
+    got_k = gather_sorted(jnp.asarray(uk), counts)
+    got_r = gather_sorted(jnp.asarray(red), counts)
+    uq, inv = np.unique(k, return_inverse=True)
+    assert np.array_equal(got_k, uq), (seed, n, reduce)
+    if reduce == "count":
+        want = np.bincount(inv)
+    elif reduce in ("sum", "mean"):
+        want = np.zeros(len(uq), np.int64)
+        np.add.at(want, inv, v.astype(np.int64))
+        if reduce == "mean":
+            want = (want.astype(np.float64) / np.bincount(inv))
+    else:
+        want = np.full(len(uq), v[0])
+        want[:] = v.max() if reduce == "min" else v.min()
+        (np.minimum if reduce == "min" else np.maximum).at(want, inv, v)
+    if reduce == "mean":
+        assert np.allclose(got_r, want, rtol=1e-6), (seed, n)
+    else:
+        assert np.array_equal(got_r.astype(np.int64), want), (seed, n, reduce)
