@@ -32,6 +32,7 @@ QTO=420 step canary python scripts/exp_sol_probe.py --canary || {
 QTO=2400 step drive    python scripts/drive_tpu.py
 QTO=3600 step probe64  python scripts/exp_device_probe.py
 QTO=3600 step ssorted  python scripts/exp_searchsorted.py
+QTO=3600 step groupred python scripts/exp_group_reduce.py
 QTO=2400 RST_TEST_PLATFORM=axon step dtypes \
     python -m pytest tests/test_sort.py tests/test_kdf.py \
     tests/test_extras.py tests/test_records_rank.py tests/test_sets.py \
