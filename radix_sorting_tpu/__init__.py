@@ -41,6 +41,18 @@ from .extras import (
     unique_sorted,
 )
 from .ops.bitmap import bitmap_unique_sort
+from .stats import (
+    argpartition,
+    digitize,
+    histogram,
+    histogram_bin_edges,
+    median,
+    mode,
+    partition,
+    percentile,
+    quantile,
+    rankdata,
+)
 from .sets import (
     UniqueResult,
     intersect1d,
@@ -84,6 +96,16 @@ __all__ = [
     "segmented_argsort",
     "top_k",
     "top_k_batched",
+    "rankdata",
+    "quantile",
+    "percentile",
+    "median",
+    "mode",
+    "digitize",
+    "histogram",
+    "histogram_bin_edges",
+    "partition",
+    "argpartition",
     "SortConfig",
     "Strategy",
     "DEFAULT_CONFIG",

@@ -4,6 +4,8 @@ from .balanced import (  # noqa: F401
     distributed_argsort_balanced,
     distributed_argsort_balanced_u32,
     distributed_group_reduce,
+    distributed_median,
+    distributed_quantile,
     distributed_select,
     distributed_sort_balanced,
     distributed_sort_balanced_u32,
@@ -11,7 +13,11 @@ from .balanced import (  # noqa: F401
     distributed_sort_pairs_balanced_u32,
     distributed_unique_sorted,
 )
-from .histogram import global_digit_histogram, global_live_bit_mask  # noqa: F401
+from .histogram import (  # noqa: F401
+    distributed_bincount,
+    global_digit_histogram,
+    global_live_bit_mask,
+)
 from .rdma import rdma_all_to_all  # noqa: F401
 from .shuffle import (  # noqa: F401
     distributed_argsort,

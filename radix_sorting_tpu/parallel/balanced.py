@@ -845,3 +845,50 @@ def distributed_select(x, ranks, mesh: Mesh, axis_name: str = "shards",
     )
     sel = mapped(*planes)
     return _decode(tuple(sel), dtype, descending)
+
+
+def distributed_quantile(x, q, mesh: Mesh, axis_name: str = "shards",
+                         method: str = "linear"):
+    """Exact quantiles of a mesh-sharded array — without a full sort.
+
+    The pod-scale form of :func:`..stats.quantile` (same five numpy
+    methods, same dtype/NaN contract — interpolating methods in float32 on
+    device, bit-for-bit numpy float64 for 64-bit numpy inputs): the needed
+    order statistics come from ONE :func:`distributed_select` call over the
+    deduplicated take ranks — O(key_bits) scalar-latency psums plus one
+    local shard sort, no exchange — and the interpolation runs on the
+    replicated O(#quantiles) result. ``q`` is a static float or sequence
+    in [0, 1]; the result is replicated on every device.
+    """
+    from ..stats import _Q_METHODS, _quantile_combine, _quantile_positions
+
+    if method not in _Q_METHODS:
+        raise ValueError(f"method must be one of {_Q_METHODS}, got {method!r}")
+    scalar = np.ndim(q) == 0
+    qs = np.atleast_1d(np.asarray(q, np.float64))
+    if qs.ndim != 1:
+        raise ValueError(f"q must be a scalar or 1-D sequence, got shape {qs.shape}")
+    if qs.size and (np.min(qs) < 0.0 or np.max(qs) > 1.0):
+        raise ValueError("quantile probabilities must lie in [0, 1]")
+    n = int(jnp.shape(x)[0]) if np.ndim(x) == 1 else -1
+    if n < 0:
+        raise ValueError(f"keys must be 1-D, got shape {jnp.shape(x)}")
+    if n == 0:
+        raise ValueError("quantile of an empty array is undefined")
+    lo_i, hi_i, frac = _quantile_positions(qs, n, method)
+    ranks = sorted({*lo_i.tolist(), *hi_i.tolist()})
+    sel = distributed_select(x, ranks, mesh, axis_name=axis_name)
+    pos = {r: i for i, r in enumerate(ranks)}
+    li = np.asarray([pos[int(r)] for r in lo_i], np.int32)
+    hi_ = np.asarray([pos[int(r)] for r in hi_i], np.int32)
+    if isinstance(sel, np.ndarray):
+        out = _quantile_combine(sel[li], sel[hi_], frac, method)
+    else:
+        out = _quantile_combine(sel[jnp.asarray(li)], sel[jnp.asarray(hi_)],
+                                frac, method)
+    return out[0] if scalar else out
+
+
+def distributed_median(x, mesh: Mesh, axis_name: str = "shards"):
+    """Pod-scale exact median: :func:`distributed_quantile` at 0.5."""
+    return distributed_quantile(x, 0.5, mesh, axis_name=axis_name)

@@ -20,7 +20,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..ops.histogram import digit_histogram, extract_digit
 from ..ops.probes import live_bit_mask
 
-__all__ = ["global_digit_histogram", "global_live_bit_mask"]
+__all__ = ["global_digit_histogram", "global_live_bit_mask",
+           "distributed_bincount"]
 
 
 @partial(jax.jit, static_argnames=("mesh", "axis_name", "radix_bits", "pass_index"))
@@ -66,3 +67,40 @@ def global_live_bit_mask(x: jax.Array, mesh: Mesh, axis_name: str = "shards") ->
     return jax.shard_map(
         body, mesh=mesh, in_specs=P(axis_name), out_specs=P(), check_vma=False
     )(x)[0]
+
+
+@partial(jax.jit, static_argnames=("mesh", "length", "axis_name"))
+def distributed_bincount(x: jax.Array, mesh: Mesh, length: int,
+                         axis_name: str = "shards") -> jax.Array:
+    """``np.bincount`` of a mesh-sharded integer array: local dense
+    histograms + ONE psum.
+
+    The public generalization of :func:`global_digit_histogram` to
+    arbitrary value domains: every device bincounts its shard through the
+    framework's dense histogram route (factored one-hot on the MXU via
+    Pallas on TPU — never scatter-add), and a single ``psum`` of the
+    (length,) counts produces the exact global distribution replicated on
+    every device. Values outside ``[0, length)`` are dropped (the
+    :func:`..extras.bincount` contract), which also makes the
+    divisibility padding free — pad slots carry the u32 sentinel, which is
+    always out of range. Returns int32 counts of shape ``(length,)``.
+    """
+    from ..extras import bincount
+
+    if length <= 0:
+        raise ValueError(f"length must be positive, got {length}")
+    xa = jnp.asarray(x)
+    if xa.ndim != 1:
+        raise ValueError(f"bincount input must be 1-D, got shape {xa.shape}")
+    w = xa.astype(jnp.uint32)
+    D = mesh.shape[axis_name]
+    pad = (-int(w.shape[0])) % D
+    if pad:
+        w = jnp.concatenate([w, jnp.full((pad,), jnp.uint32(0xFFFFFFFF))])
+
+    def body(shard):
+        return lax.psum(bincount(shard, length=length), axis_name)
+
+    return jax.shard_map(
+        body, mesh=mesh, in_specs=P(axis_name), out_specs=P(), check_vma=False
+    )(w)

@@ -208,6 +208,45 @@ def main() -> int:
           and np.array_equal(np.asarray(tot)[: len(uq)].astype(np.int64),
                              want))
 
+    # order statistics / ranking: tie-aware ranks (boundary algebra +
+    # inverse-permutation restore), exact quantiles off the dispatched
+    # sort, histogram through the dense bincount + group_reduce routes
+    from radix_sorting_tpu.stats import digitize, histogram, quantile, rankdata
+    rk = (x & np.uint32(0x7F)).astype(np.uint32)  # heavy ties
+    got = np.asarray(rankdata(jnp.asarray(rk), method="average"))
+    srt = np.argsort(rk, kind="stable")
+    rmin = np.empty(n, np.int64); rmax = np.empty(n, np.int64)
+    isnew = np.concatenate([[True], rk[srt][1:] != rk[srt][:-1]])
+    rid = np.cumsum(isnew) - 1
+    starts = np.flatnonzero(isnew)
+    lens = np.diff(np.concatenate([starts, [n]]))
+    rmin[srt] = starts[rid]; rmax[srt] = starts[rid] + lens[rid] - 1
+    want_avg = (rmin + rmax) / 2.0 + 1.0
+    check("rankdata average (tie algebra)",
+          np.array_equal(got.astype(np.float64), want_avg))
+    got = np.asarray(quantile(jnp.asarray(v), [0.01, 0.5, 0.99]))
+    want = np.quantile(v.astype(np.float64), [0.01, 0.5, 0.99])
+    check("quantile (sorted-take lerp)", np.allclose(got, want, rtol=1e-5))
+    # grid-aligned data: stats.py's f32 uniform binning matches numpy's
+    # f64 oracle bit-for-bit only away from the ~1-ulp edge band (the
+    # documented precision contract; tests/test_stats.py verifies the raw
+    # f32 arithmetic itself)
+    vh = np.round(v, 2).astype(np.float32)
+    hc, he = histogram(jnp.asarray(vh), bins=64, range=(-4.0, 4.0))
+    wc, _ = np.histogram(vh, bins=64, range=(-4.0, 4.0))
+    check("histogram uniform (dense bincount)",
+          np.array_equal(np.asarray(hc), wc))
+    hw, _ = histogram(jnp.asarray(vh), bins=16, range=(-2.0, 2.0),
+                      weights=jnp.asarray(np.abs(v)))
+    ww, _ = np.histogram(vh, bins=16, range=(-2.0, 2.0),
+                         weights=np.abs(v).astype(np.float64))
+    check("histogram weighted (group_reduce densify)",
+          np.allclose(np.asarray(hw), ww, rtol=1e-3, atol=1e-2))
+    dedges = np.array([3.0, 1.0, 0.0, -1.0, -3.0], np.float32)
+    got = np.asarray(digitize(jnp.asarray(v), jnp.asarray(dedges)))
+    check("digitize (decreasing bins)",
+          np.array_equal(got, np.digitize(v, dedges)))
+
     mesh = make_sort_mesh(1)
     sp, counts, ovf = distributed_sort_balanced_u32(xj, mesh)
     check("distributed balanced (1-chip mesh)",
@@ -234,6 +273,17 @@ def main() -> int:
           np.array_equal(gather_sorted(uk, counts, ovf), uq)
           and np.array_equal(
               gather_sorted(red, counts, ovf).astype(np.int64), want))
+
+    from radix_sorting_tpu.parallel import (distributed_bincount,
+                                            distributed_quantile)
+    got = np.asarray(distributed_quantile(xj, [0.25, 0.5, 0.75], mesh,
+                                          method="lower"))
+    check("distributed_quantile (1-chip mesh)",
+          np.array_equal(got, np.quantile(x, [0.25, 0.5, 0.75],
+                                          method="lower").astype(np.uint32)))
+    got = np.asarray(distributed_bincount(jnp.asarray(xu), mesh, 5000))
+    check("distributed_bincount (1-chip mesh)",
+          np.array_equal(got, np.bincount(xu, minlength=5000)))
 
     print("ALL OK" if ok else "FAILURES PRESENT")
     return 0 if ok else 1

@@ -161,6 +161,18 @@ def main() -> int:
     check("group_reduce", np.array_equal(got_k, uq)
           and np.array_equal(got_r.astype(np.int64), want))
 
+    # 8) pod-scale quantiles (selection psums across processes) and the
+    #    dense global bincount (local histograms + one cross-process psum)
+    from radix_sorting_tpu.parallel import (distributed_bincount,
+                                            distributed_quantile)
+    qv = np.asarray(distributed_quantile(xg, [0.25, 0.75], mesh,
+                                         method="lower"))
+    bc = np.asarray(distributed_bincount(ug, mesh, 5000))
+    check("quantile+bincount",
+          np.array_equal(qv, np.quantile(x_np, [0.25, 0.75],
+                                         method="lower").astype(np.uint32))
+          and np.array_equal(bc, np.bincount(small_np, minlength=5000)))
+
     if failures:
         print(f"[{pid}] FAILURES: {failures}", flush=True)
         return 1

@@ -36,8 +36,9 @@ QTO=3600 step groupred python scripts/exp_group_reduce.py
 QTO=2400 RST_TEST_PLATFORM=axon step dtypes \
     python -m pytest tests/test_sort.py tests/test_kdf.py \
     tests/test_extras.py tests/test_records_rank.py tests/test_sets.py \
+    tests/test_stats.py \
     -q -p no:cacheprovider -k \
-    "float8 or bfloat16 or int4 or searchsorted or bincount or bytes_payload or unique or isin or setops or group_reduce" \
+    "float8 or bfloat16 or int4 or searchsorted or bincount or bytes_payload or unique or isin or setops or group_reduce or rankdata or quantile or histogram or digitize" \
     || true
 QTO=2400 step bench    python bench.py
 

@@ -528,3 +528,66 @@ def test_distributed_group_reduce_small_and_errors(rng, mesh):
     with pytest.raises(ValueError):
         distributed_group_reduce(jnp.asarray(k), jnp.asarray(v), mesh,
                                  reduce="count")
+
+
+# ---------------------------------------------------------------------------
+# distributed_quantile / distributed_median / distributed_bincount
+
+
+@pytest.mark.parametrize("method",
+                         ("linear", "lower", "higher", "nearest", "midpoint"))
+def test_distributed_quantile_vs_numpy(rng, mesh, method):
+    from radix_sorting_tpu.parallel import distributed_quantile
+    n = (1 << 14) + 77
+    x = rng.standard_normal(n).astype(np.float32)
+    qs = [0.0, 0.05, 0.25, 0.5, 0.9, 1.0]
+    got = np.asarray(distributed_quantile(jnp.asarray(x), qs, mesh,
+                                          method=method))
+    exp = np.quantile(x.astype(np.float64), qs, method=method)
+    assert np.allclose(got, exp, rtol=1e-5, atol=1e-6), method
+
+
+def test_distributed_quantile_matches_single_chip(rng, mesh):
+    # the distributed form must agree with stats.quantile exactly
+    from radix_sorting_tpu.parallel import distributed_quantile
+    from radix_sorting_tpu.stats import quantile
+    x = rng.integers(0, 1 << 20, size=9_999, dtype=np.uint32)
+    qs = [0.13, 0.5, 0.77]
+    got = np.asarray(distributed_quantile(jnp.asarray(x), qs, mesh))
+    want = np.asarray(quantile(jnp.asarray(x), qs))
+    assert np.array_equal(got, want)
+
+
+def test_distributed_median_u64_host_path(rng, mesh):
+    from radix_sorting_tpu.parallel import distributed_median
+    x = rng.integers(0, 1 << 62, size=8_192, dtype=np.int64)
+    got = distributed_median(x, mesh)
+    assert np.isclose(float(got), np.median(x).astype(np.float64))
+
+
+def test_distributed_quantile_scalar_and_errors(rng, mesh):
+    from radix_sorting_tpu.parallel import distributed_quantile
+    x = rng.standard_normal(1_024).astype(np.float32)
+    m = distributed_quantile(jnp.asarray(x), 0.5, mesh)
+    assert np.ndim(m) == 0
+    with pytest.raises(ValueError, match=r"\[0, 1\]"):
+        distributed_quantile(jnp.asarray(x), -0.1, mesh)
+    with pytest.raises(ValueError, match="empty"):
+        distributed_quantile(jnp.zeros((0,), jnp.float32), 0.5, mesh)
+    with pytest.raises(ValueError, match="method"):
+        distributed_quantile(jnp.asarray(x), 0.5, mesh, method="cubic")
+
+
+def test_distributed_bincount(rng, mesh):
+    from radix_sorting_tpu.parallel import distributed_bincount
+    n = (1 << 13) + 55  # ragged: exercises the sentinel padding
+    x = rng.integers(0, 777, size=n, dtype=np.uint32)
+    got = np.asarray(distributed_bincount(jnp.asarray(x), mesh, 777))
+    assert np.array_equal(got, np.bincount(x, minlength=777))
+    # out-of-range values drop (documented), sentinel padding never counts
+    x2 = np.where(x % 7 == 0, np.uint32(4_000_000_000), x)
+    got = np.asarray(distributed_bincount(jnp.asarray(x2), mesh, 777))
+    want = np.bincount(x2[x2 < 777], minlength=777)
+    assert np.array_equal(got, want)
+    with pytest.raises(ValueError, match="positive"):
+        distributed_bincount(jnp.asarray(x), mesh, 0)

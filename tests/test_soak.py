@@ -383,3 +383,94 @@ def test_soak_distributed_group_reduce(seed):
         assert np.allclose(got_r, want, rtol=1e-6), (seed, n)
     else:
         assert np.array_equal(got_r.astype(np.int64), want), (seed, n, reduce)
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_soak_stats(seed):
+    """Randomized sweep of stats.py: rankdata (every tie method), quantile
+    (every numpy method), digitize (both monotonic orders x right), and
+    histogram (uniform + edge arrays). Integer-valued data keeps the f32
+    binning/lerp arithmetic exact against numpy's f64 oracles."""
+    import scipy.stats as scipy_stats
+    from radix_sorting_tpu import stats
+    r = np.random.Generator(np.random.PCG64(0x57A7 + seed))
+    n = int(r.integers(2, 60_000))
+    kd = [np.uint8, np.uint16, np.uint32, np.uint64,
+          np.int16, np.int32, np.int64, np.float32][seed % 8]
+    dom = 1 << int(r.integers(1, 16))
+
+    if kd is np.float32:
+        x = r.integers(0, dom, size=n).astype(np.float32)
+    else:
+        info = np.iinfo(kd)
+        lo = 0 if np.dtype(kd).kind == "u" else max(int(info.min), -(dom // 2))
+        x = r.integers(lo, min(lo + dom, int(info.max)), size=n, dtype=kd,
+                       endpoint=True)
+    xj = x if x.dtype.itemsize == 8 else jnp.asarray(x)
+
+    method = ["average", "min", "max", "dense", "ordinal"][seed % 5]
+    got = np.asarray(stats.rankdata(xj, method=method))
+    exp = scipy_stats.rankdata(x, method=method)
+    assert np.array_equal(got.astype(np.float64), exp.astype(np.float64)), \
+        (seed, n, method)
+
+    qm = ["linear", "lower", "higher", "nearest", "midpoint"][seed % 5]
+    qs = np.round(r.random(int(r.integers(1, 6))), 3).tolist()
+    got = np.asarray(stats.quantile(xj, qs, method=qm)).astype(np.float64)
+    exp = np.quantile(x.astype(np.float64), qs, method=qm)
+    # integer-valued data: lerp of ints < 2^16 over f32 is exact unless the
+    # fraction itself rounds — compare to f32-rounded tolerance
+    assert np.allclose(got, exp, rtol=1e-6, atol=1e-3), (seed, qm)
+
+    nb = int(r.integers(2, 40))
+    edges = np.unique(r.integers(0, max(2, dom), size=nb)).astype(np.float64)
+    if len(edges) >= 2:
+        xf = x.astype(np.float32) if kd is not np.float32 else x
+        right = bool(seed % 2)
+        b = edges if seed % 4 < 2 else edges[::-1].copy()
+        got = np.asarray(stats.digitize(jnp.asarray(xf),
+                                        jnp.asarray(b, jnp.float32),
+                                        right=right))
+        assert np.array_equal(got, np.digitize(xf, b, right=right)), \
+            (seed, right, len(b))
+        c, _ = stats.histogram(jnp.asarray(xf), bins=edges)
+        ce, _ = np.histogram(xf, bins=edges)
+        assert np.array_equal(np.asarray(c), ce), (seed, len(edges))
+    c, e = stats.histogram(jnp.asarray(x.astype(np.float32)),
+                           bins=int(r.integers(1, 64)),
+                           range=(0.0, float(max(1, dom))))
+    ce, _ = np.histogram(x.astype(np.float32), bins=len(np.asarray(c)),
+                         range=(0.0, float(max(1, dom))))
+    assert np.array_equal(np.asarray(c), ce), (seed, len(e))
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_soak_distributed_stats(seed):
+    """Randomized pod-scale order statistics: random mesh size, dtype,
+    quantile method and probabilities, vs numpy; plus the global bincount.
+    Integer-valued data keeps interpolating methods f32-exact."""
+    import jax
+    from radix_sorting_tpu.parallel import (distributed_bincount,
+                                            distributed_quantile,
+                                            make_sort_mesh)
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device mesh")
+    r = np.random.Generator(np.random.PCG64(0xD157 + seed))
+    mesh = make_sort_mesh(int(r.integers(2, 9)))
+    n = int(r.integers(2, 60_000))
+    kd = [np.uint32, np.float32, np.int64, np.uint16][seed % 4]
+    if kd is np.float32:
+        x = r.integers(0, 1 << 16, size=n).astype(np.float32)
+    else:
+        x = r.integers(0, min(1 << 16, np.iinfo(kd).max), size=n, dtype=kd)
+    xj = x if x.dtype.itemsize == 8 else jnp.asarray(x)
+    qm = ["linear", "lower", "higher", "nearest", "midpoint"][seed % 5]
+    qs = np.round(r.random(int(r.integers(1, 5))), 3).tolist()
+    got = np.asarray(distributed_quantile(xj, qs, mesh, method=qm)
+                     ).astype(np.float64)
+    exp = np.quantile(x.astype(np.float64), qs, method=qm)
+    assert np.allclose(got, exp, rtol=1e-6, atol=1e-3), (seed, qm, n)
+
+    xb = (x.astype(np.int64) % 997).astype(np.uint32)
+    got = np.asarray(distributed_bincount(jnp.asarray(xb), mesh, 997))
+    assert np.array_equal(got, np.bincount(xb, minlength=997)), (seed, n)
