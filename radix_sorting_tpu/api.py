@@ -56,8 +56,15 @@ def _as_words(x, descending: bool, allow_nd: bool = False) -> Tuple[Tuple[jax.Ar
     """KDF-encode an input array (jax or numpy) into uint32 word planes.
 
     Returns (words, original_dtype). Handles 64-bit numpy inputs without x64 by
-    splitting into hi/lo planes host-side.
+    splitting into hi/lo planes host-side, and fixed-width byte-string keys
+    (numpy ``S<W>``) as ceil(W/4) big-endian planes (see kdf.encode_bytes_np).
     """
+    if isinstance(x, np.ndarray) and x.dtype.kind == "S":
+        # must precede the 64-bit branch: S8 also has itemsize 8
+        if x.ndim != 1:
+            raise ValueError(
+                f"byte-string keys must be 1-D, got shape {x.shape}")
+        return kdf.encode_bytes_np(x, descending), np.dtype(x.dtype)
     if isinstance(x, np.ndarray) and x.dtype.itemsize == 8 and not jax.config.jax_enable_x64:
         if x.ndim != 1 and not allow_nd:
             raise ValueError(f"keys must be 1-D, got shape {x.shape}")
@@ -69,6 +76,8 @@ def _as_words(x, descending: bool, allow_nd: bool = False) -> Tuple[Tuple[jax.Ar
 
 
 def _decode(words, dtype, descending: bool):
+    if isinstance(dtype, np.dtype) and dtype.kind == "S":
+        return kdf.decode_bytes_np(words, dtype, descending)
     if isinstance(dtype, np.dtype) and dtype.itemsize == 8 and not jax.config.jax_enable_x64:
         return kdf.decode64_np(words, dtype, descending)
     return kdf.decode(words, dtype, descending=descending)
@@ -92,29 +101,11 @@ def _is_np64_no_x64(leaf) -> bool:
             and not jax.config.jax_enable_x64)
 
 
-def _pack_bytes_field(u8mat):
-    """(n, W) uint8 -> ceil(W/4) u32 operand planes (inverse: _unpack_bytes_field).
-
-    Payload planes carry no order semantics, so any bijection works; packing
-    4 byte columns per u32 plane quarters the operand count vs shipping raw
-    byte columns through the sorter (the sorter is measured operand-bound —
-    ROADMAP "stable pairs floor").
-    """
-    n, W = u8mat.shape
-    G = -(-W // 4)
-    if W != G * 4:
-        u8mat = jnp.pad(u8mat, ((0, 0), (0, G * 4 - W)))
-    cols = u8mat.astype(jnp.uint32)
-    return tuple(
-        (cols[:, 4 * g] << 24) | (cols[:, 4 * g + 1] << 16)
-        | (cols[:, 4 * g + 2] << 8) | cols[:, 4 * g + 3]
-        for g in range(G))
-
-
-def _unpack_bytes_field(planes, W: int):
-    cols = [((p >> np.uint32(s)) & np.uint32(0xFF)).astype(jnp.uint8)
-            for p in planes for s in (24, 16, 8, 0)]
-    return jnp.stack(cols, axis=1)[:, :W]
+# Payload byte fields ride the same big-endian packing the byte-string KEY
+# KDF uses (payload planes carry no order semantics, so any bijection would
+# do; sharing the key codec keeps one implementation).
+_pack_bytes_field = kdf.pack_bytes_be
+_unpack_bytes_field = kdf.unpack_bytes_be
 
 
 def _flatten_payload(values):
@@ -219,6 +210,15 @@ def _unflatten_payload(sorted_planes, meta):
     return jax.tree.unflatten(treedef, out)
 
 
+def _reject_bytes_mask(dtype, value_mask) -> None:
+    """Byte-string keys have no bit-mask story: a hex mask is a fixed-width
+    integer promise (`radix_experiment.cpp:188-198`); reject instead of
+    silently ignoring it."""
+    if value_mask is not None and kdf.is_bytes_dtype(dtype):
+        raise ValueError(
+            "value_mask is not applicable to byte-string (numpy 'S') keys")
+
+
 def _validate_value_mask(x, dtype, value_mask: int) -> None:
     """Raise when any key carries live bits outside ``value_mask``.
 
@@ -263,7 +263,7 @@ def _compaction_masks(words, value_mask, dtype,
     The budget here is the 32-bit plane width, NOT ``counting_max_bits``
     (no histogram is involved).
     """
-    if len(words) != 2 or value_mask is None:
+    if len(words) != 2 or value_mask is None or kdf.is_bytes_dtype(dtype):
         return None
     if int(words[0].shape[0]) < 2:
         return None          # dead-bit restore samples element 0
@@ -281,6 +281,10 @@ def _static_live_mask(words, value_mask, dtype, cfg: SortConfig) -> Optional[Tup
     reference's mask knob covers every key width, so 64-bit keys participate
     too: their masks split into (hi, lo) plane masks.
     """
+    if kdf.is_bytes_dtype(dtype):
+        # byte-string keys always ride the multi-plane sorter; a value_mask
+        # promise has no meaning for them (rejected at the entry points)
+        return None
     bits = kdf.key_bits(dtype)   # LOGICAL width (4 for int4/uint4)
     # kdf.kind, NOT numpy's dtype.kind: ml_dtypes floats (bfloat16, float8_*)
     # report numpy kind 'V', which (a) dropped bfloat16 off the counting fast
@@ -338,6 +342,7 @@ def sort(x, *, config: SortConfig = DEFAULT_CONFIG, value_mask: Optional[int] = 
     """
     cfg = config
     words, dtype = _as_words(x, cfg.descending)
+    _reject_bytes_mask(dtype, value_mask)
     n = int(words[0].shape[0])
     if n <= 1:
         # normalize like the n>1 path would (a bare list must not leak back)
@@ -355,7 +360,7 @@ def sort(x, *, config: SortConfig = DEFAULT_CONFIG, value_mask: Optional[int] = 
     cmasks = _compaction_masks(words, value_mask, dtype, cfg)
     if strategy == Strategy.AUTO:
         mask = _static_live_mask(words, value_mask, dtype, cfg)
-        if mask is None and cfg.dynamic_probe \
+        if mask is None and cfg.dynamic_probe and len(words) <= 2 \
                 and not any(isinstance(w, jax.core.Tracer) for w in words):
             # Runtime column-skip probe (the reference's histogram probe,
             # `radix_sort.hpp:64-70`, in live-bit form): measure which bits
@@ -373,7 +378,7 @@ def sort(x, *, config: SortConfig = DEFAULT_CONFIG, value_mask: Optional[int] = 
         # *complemented* live bits, so pass the complemented mask
         if mask is not None:
             strategy = Strategy.COUNTING
-        elif cfg.device_probe and cmasks is None:
+        elif cfg.device_probe and cmasks is None and len(words) <= 2:
             # (The compaction guard: a 64-bit value_mask with 18-32 live
             # bits is a *static* promise of the one-operand sorter route —
             # a measured 1.4x — which must not be pre-empted by the runtime
@@ -453,6 +458,7 @@ def argsort(x, *, config: SortConfig = DEFAULT_CONFIG, index_dtype=jnp.uint32,
     """
     cfg = config
     words, dtype = _as_words(x, cfg.descending)
+    _reject_bytes_mask(dtype, value_mask)
     n = int(words[0].shape[0])
     _check_index_width(n, index_dtype)
     iota = jnp.arange(n, dtype=index_dtype)
@@ -517,6 +523,7 @@ def sort_pairs(keys, values, *, config: SortConfig = DEFAULT_CONFIG,
     """
     cfg = config
     words, dtype = _as_words(keys, cfg.descending)
+    _reject_bytes_mask(dtype, value_mask)
     leaves, pmeta = _flatten_payload(values)
     n = int(words[0].shape[0])
     if n != (leaves[0].shape[0] if leaves else n):

@@ -60,6 +60,11 @@ __all__ = [
     "encode64_np",
     "decode64_np",
     "join64_np",
+    "is_bytes_dtype",
+    "pack_bytes_be",
+    "unpack_bytes_be",
+    "encode_bytes_np",
+    "decode_bytes_np",
     "SUPPORTED_DTYPES",
 ]
 
@@ -85,6 +90,97 @@ SUPPORTED_DTYPES = (
 _SUB_BYTE_BITS = {"int4": 4, "uint4": 4}
 
 
+# --- fixed-width byte-string keys -----------------------------------------
+#
+# Beyond-reference key type: numpy ``S<W>`` byte strings. The reference's
+# record demo sorts BY a one-byte key and merely carries a char name
+# (`counting_sort_rec_sk.c:10-12`); sorting by the string itself is the
+# natural generalization, and it needs no new engine: big-endian packing of
+# the W padded bytes into ceil(W/4) u32 planes makes unsigned multi-word
+# plane order IDENTICAL to byte-lexicographic order, which is exactly
+# numpy's ordering for same-width ``S`` arrays (trailing-NUL padding
+# compares below every non-NUL byte in both). The multi-word sorter —
+# already exercised by 64-bit (hi, lo) keys — handles any plane count.
+
+_MAX_BYTES_KEY_WIDTH = 256  # each 4 bytes is one sort operand; the sorter is
+# measured operand-width-bound (ROADMAP "stable pairs floor"), so very wide
+# keys should ride as index payload + host gather instead.
+
+
+def is_bytes_dtype(dtype) -> bool:
+    """True for numpy fixed-width byte-string dtypes (kind 'S')."""
+    if isinstance(dtype, str) or dtype is None:
+        return False
+    try:
+        return np.dtype(dtype).kind == "S"
+    except TypeError:
+        return False
+
+
+def pack_bytes_be(u8mat: jax.Array) -> Tuple[jax.Array, ...]:
+    """(n, W) uint8 -> ceil(W/4) big-endian u32 planes, most significant first.
+
+    Big-endian packing is what makes unsigned plane comparison equal
+    byte-lexicographic comparison; ragged tails zero-pad (order-neutral:
+    the pad columns are identical across elements). Inverse:
+    :func:`unpack_bytes_be`.
+    """
+    n, W = u8mat.shape
+    G = -(-W // 4)
+    if W != G * 4:
+        u8mat = jnp.pad(u8mat, ((0, 0), (0, G * 4 - W)))
+    cols = u8mat.astype(_U32)
+    return tuple(
+        (cols[:, 4 * g] << 24) | (cols[:, 4 * g + 1] << 16)
+        | (cols[:, 4 * g + 2] << 8) | cols[:, 4 * g + 3]
+        for g in range(G))
+
+
+def unpack_bytes_be(planes, W: int) -> jax.Array:
+    """Inverse of :func:`pack_bytes_be`: u32 planes -> (n, W) uint8."""
+    cols = [((p >> np.uint32(s)) & np.uint32(0xFF)).astype(jnp.uint8)
+            for p in planes for s in (24, 16, 8, 0)]
+    return jnp.stack(cols, axis=1)[:, :W]
+
+
+def _check_bytes_width(W: int) -> None:
+    if W == 0:
+        raise ValueError("byte-string key width must be > 0 (got S0)")
+    if W > _MAX_BYTES_KEY_WIDTH:
+        raise ValueError(
+            f"byte-string key width {W} > {_MAX_BYTES_KEY_WIDTH}: each 4 "
+            "bytes adds a sort operand — sort an index payload and gather "
+            "long blobs on the host instead")
+
+
+def encode_bytes_np(x: np.ndarray, descending: bool = False) -> Tuple[jax.Array, ...]:
+    """KDF-encode a 1-D numpy ``S<W>`` array into u32 planes (MSW first).
+
+    The derived planes order exactly as numpy orders the byte strings;
+    ``descending=True`` complements every plane (`README.md:566-574` —
+    the complement trick is width-agnostic). Inverse: :func:`decode_bytes_np`.
+    """
+    d = np.dtype(x.dtype)
+    if d.kind != "S":
+        raise TypeError(f"expected a numpy 'S' dtype, got {d}")
+    W = d.itemsize
+    _check_bytes_width(W)
+    u8 = np.ascontiguousarray(x).view(np.uint8).reshape(x.shape[0], W)
+    words = pack_bytes_be(jnp.asarray(u8))
+    return complement(words) if descending else words
+
+
+def decode_bytes_np(words: Sequence[jax.Array], dtype,
+                    descending: bool = False) -> np.ndarray:
+    """Host-side inverse of :func:`encode_bytes_np`: numpy array of ``dtype``."""
+    d = np.dtype(dtype)
+    W = d.itemsize
+    if descending:
+        words = complement(words)
+    u8 = unpack_bytes_be(tuple(words), W)
+    return np.ascontiguousarray(np.asarray(u8)).view(d).reshape(-1)
+
+
 def _canonical_dtype(dtype) -> np.dtype:
     d = jnp.dtype(dtype)
     if d.name not in SUPPORTED_DTYPES:
@@ -93,7 +189,9 @@ def _canonical_dtype(dtype) -> np.dtype:
 
 
 def kind(dtype) -> str:
-    """'u' / 'i' / 'f' / 'b' — robust to ml_dtypes (bfloat16 reports numpy kind 'V')."""
+    """'u' / 'i' / 'f' / 'b' / 'S' — robust to ml_dtypes (bfloat16 reports numpy kind 'V')."""
+    if is_bytes_dtype(dtype):
+        return "S"
     d = _canonical_dtype(dtype)
     if d == jnp.bool_:
         return "b"
@@ -106,13 +204,18 @@ def kind(dtype) -> str:
 
 def key_bits(dtype) -> int:
     """LOGICAL width of the key type in bits (4 for the sub-byte int4/uint4,
-    whose jnp storage is byte-backed)."""
+    whose jnp storage is byte-backed; 8*W for byte-string keys)."""
+    if is_bytes_dtype(dtype):
+        return np.dtype(dtype).itemsize * 8
     d = _canonical_dtype(dtype)
     return _SUB_BYTE_BITS.get(d.name, d.itemsize * 8)
 
 
 def num_words(dtype) -> int:
-    """Number of uint32 planes the encoded key occupies (1 for <=32-bit, 2 for 64-bit)."""
+    """Number of uint32 planes the encoded key occupies (1 for <=32-bit,
+    2 for 64-bit, ceil(W/4) for byte-string keys)."""
+    if is_bytes_dtype(dtype):
+        return -(-np.dtype(dtype).itemsize // 4)
     return 2 if key_bits(dtype) == 64 else 1
 
 
