@@ -61,6 +61,10 @@ from .sets import (
     setxor1d,
     union1d,
     unique,
+    unique_all,
+    unique_counts,
+    unique_inverse,
+    unique_values,
 )
 
 __version__ = "0.4.0"
@@ -86,6 +90,10 @@ __all__ = [
     "group_reduce",
     "unique_sorted",
     "unique",
+    "unique_values",
+    "unique_counts",
+    "unique_inverse",
+    "unique_all",
     "UniqueResult",
     "isin",
     "union1d",

@@ -181,6 +181,76 @@ def unique(x, *, return_index: bool = False, return_inverse: bool = False,
     return UniqueResult(values, index, inverse, counts, num_unique)
 
 
+class UniqueValuesResult(NamedTuple):
+    """numpy-2.0 ``unique_values`` plus the live count (fixed-shape needs it)."""
+    values: jax.Array
+    num_unique: jax.Array
+
+
+class UniqueCountsResult(NamedTuple):
+    values: jax.Array
+    counts: jax.Array
+    num_unique: jax.Array
+
+
+class UniqueInverseResult(NamedTuple):
+    values: jax.Array
+    inverse_indices: jax.Array
+    num_unique: jax.Array
+
+
+class UniqueAllResult(NamedTuple):
+    values: jax.Array
+    indices: jax.Array
+    inverse_indices: jax.Array
+    counts: jax.Array
+    num_unique: jax.Array
+
+
+def unique_values(x, *, size: Optional[int] = None,
+                  config: SortConfig = DEFAULT_CONFIG) -> UniqueValuesResult:
+    """numpy-2.0 / array-API ``np.unique_values``, fixed-shape and jittable.
+
+    Identical semantics to :func:`unique` with no flags; the result carries
+    ``num_unique`` as a trailing field because the fixed-shape contract pads
+    ``values`` to ``size`` (numpy returns a data-dependent shape, which jit
+    cannot). Field names follow the array-API spec otherwise.
+    """
+    r = unique(x, size=size, config=config)
+    return UniqueValuesResult(r.values, r.num_unique)
+
+
+def unique_counts(x, *, size: Optional[int] = None,
+                  config: SortConfig = DEFAULT_CONFIG) -> UniqueCountsResult:
+    """numpy-2.0 ``np.unique_counts`` (values + multiplicities); see
+    :func:`unique_values` for the fixed-shape contract."""
+    r = unique(x, return_counts=True, size=size, config=config)
+    return UniqueCountsResult(r.values, r.counts, r.num_unique)
+
+
+def unique_inverse(x, *, size: Optional[int] = None,
+                   config: SortConfig = DEFAULT_CONFIG,
+                   index_dtype=jnp.uint32) -> UniqueInverseResult:
+    """numpy-2.0 ``np.unique_inverse``: ``values[inverse_indices]``
+    reconstructs ``x`` (exact regardless of ``size``); see
+    :func:`unique_values` for the fixed-shape contract."""
+    r = unique(x, return_inverse=True, size=size, config=config,
+               index_dtype=index_dtype)
+    return UniqueInverseResult(r.values, r.inverse, r.num_unique)
+
+
+def unique_all(x, *, size: Optional[int] = None,
+               config: SortConfig = DEFAULT_CONFIG,
+               index_dtype=jnp.uint32) -> UniqueAllResult:
+    """numpy-2.0 ``np.unique_all``: values, first-occurrence indices, inverse,
+    counts — one stable rank sort serves all four (see :func:`unique`); the
+    trailing ``num_unique`` interprets the fixed-shape padding."""
+    r = unique(x, return_index=True, return_inverse=True, return_counts=True,
+               size=size, config=config, index_dtype=index_dtype)
+    return UniqueAllResult(r.values, r.index, r.inverse, r.counts,
+                           r.num_unique)
+
+
 def _merged_runs(a, b, config: SortConfig):
     """One fused sort of concat(a, b) with a side-flag plane.
 

@@ -379,3 +379,55 @@ def test_group_reduce_mean_64bit_exact(rng):
     np.add.at(want, inv, v.astype(np.float64))
     want /= np.bincount(inv)
     assert np.array_equal(out[: len(uq)], want)  # exact in f64, f32 rounds
+
+
+# --------------------------------------------- numpy-2.0 unique_* quartet
+
+def test_unique_quartet_vs_numpy(rng):
+    from radix_sorting_tpu.sets import (unique_all, unique_counts,
+                                        unique_inverse, unique_values)
+    x = rng.integers(0, 500, size=30_000, dtype=np.uint32)
+    uq, idx, inv, cnt = np.unique(x, return_index=True, return_inverse=True,
+                                  return_counts=True)
+    k = len(uq)
+
+    rv = unique_values(jnp.asarray(x))
+    assert int(rv.num_unique) == k
+    assert np.array_equal(np.asarray(rv.values)[:k], uq)
+
+    rc = unique_counts(jnp.asarray(x))
+    assert np.array_equal(np.asarray(rc.values)[:k], uq)
+    assert np.array_equal(np.asarray(rc.counts)[:k], cnt)
+
+    ri = unique_inverse(jnp.asarray(x))
+    assert np.array_equal(np.asarray(ri.values)[:k], uq)
+    assert np.array_equal(np.asarray(ri.values)[np.asarray(ri.inverse_indices)], x)
+
+    ra = unique_all(jnp.asarray(x))
+    assert np.array_equal(np.asarray(ra.values)[:k], uq)
+    assert np.array_equal(np.asarray(ra.indices)[:k], idx)
+    assert np.array_equal(np.asarray(ra.counts)[:k], cnt)
+    assert np.array_equal(np.asarray(ra.values)[np.asarray(ra.inverse_indices)], x)
+
+
+def test_unique_quartet_jit_and_i64(rng):
+    from radix_sorting_tpu.sets import unique_all, unique_counts
+    x = rng.integers(-(1 << 40), 1 << 40, size=4_000).astype(np.int64)
+    x = np.repeat(x[:400], 10)
+    rng.shuffle(x)
+    uq, cnt = np.unique(x, return_counts=True)
+    rc = unique_counts(x)  # numpy 64-bit in, numpy out, no x64
+    k = len(uq)
+    assert int(rc.num_unique) == k
+    assert np.array_equal(np.asarray(rc.values[:k], dtype=np.int64), uq)
+    assert np.array_equal(np.asarray(rc.counts)[:k], cnt)
+
+    y = rng.integers(0, 64, size=2_048, dtype=np.uint32)
+    ra = jax.jit(lambda a: unique_all(a))(jnp.asarray(y))
+    uq2, idx2, inv2, cnt2 = np.unique(y, return_index=True,
+                                      return_inverse=True, return_counts=True)
+    k2 = len(uq2)
+    assert np.array_equal(np.asarray(ra.values)[:k2], uq2)
+    assert np.array_equal(np.asarray(ra.indices)[:k2], idx2)
+    assert np.array_equal(np.asarray(ra.inverse_indices), inv2)
+    assert np.array_equal(np.asarray(ra.counts)[:k2], cnt2)
