@@ -67,7 +67,7 @@ from .sets import (
     unique_values,
 )
 
-__version__ = "0.4.0"
+__version__ = "0.4.1"
 
 __all__ = [
     "sort",

@@ -11,6 +11,7 @@ from .balanced import (  # noqa: F401
     distributed_sort_balanced_u32,
     distributed_sort_pairs_balanced,
     distributed_sort_pairs_balanced_u32,
+    distributed_top_k,
     distributed_unique_sorted,
 )
 from .histogram import (  # noqa: F401

@@ -892,3 +892,76 @@ def distributed_quantile(x, q, mesh: Mesh, axis_name: str = "shards",
 def distributed_median(x, mesh: Mesh, axis_name: str = "shards"):
     """Pod-scale exact median: :func:`distributed_quantile` at 0.5."""
     return distributed_quantile(x, 0.5, mesh, axis_name=axis_name)
+
+
+def distributed_top_k(x, k: int, mesh: Mesh, axis_name: str = "shards",
+                      largest: bool = True, index_dtype=jnp.uint32):
+    """Global top-k of a mesh-sharded array, replicated on every device.
+
+    The pod-scale form of :func:`..extras.top_k` (same contract: best-first
+    values with their stable original indices, ties to the lower global
+    index), built on the union-of-local-top-k identity: every globally
+    top-k element has local rank < k in its own shard, so one local
+    composite sort per shard, one ``all_gather`` of D*k candidate rows, and
+    one replicated sort of those candidates select the exact global result.
+    Communication is O(D*k) — no exchange, no full distributed sort; the
+    right tool whenever k << n/D (leaderboards, thresholding, beam cuts).
+    For k approaching the shard size, sort with
+    :func:`distributed_sort_balanced` and take a prefix instead.
+
+    Args:
+      x: (n,) array of any supported key dtype (64-bit = two u32 planes,
+        no x64), n divisible-or-padded across the mesh.
+      k: static, 1 <= k <= n/D (each shard holds only n/D candidates).
+      largest: rank 0 = largest when True (like ``extras.top_k``).
+
+    Returns:
+      ``(values, indices)`` of static length k, identical on every device.
+    """
+    from ..api import _as_words, _check_index_width, _decode
+
+    words, dtype = _as_words(x, largest)
+    n = int(words[0].shape[0])
+    D = mesh.shape[axis_name]
+    pad_total = (-n) % D
+    n_local = (n + pad_total) // D
+    if not 0 < k <= n:
+        raise ValueError(f"k must be in [1, {n}], got {k}")
+    if k > n_local:
+        raise ValueError(
+            f"k={k} exceeds the shard size {n_local}: each shard holds only "
+            f"n/D candidates — use distributed_sort_balanced and slice")
+    _check_index_width(n + pad_total, index_dtype)
+    # pad to a multiple of D with the KDF-order maximum: pads sort last
+    # within the final shard and can never displace a real candidate
+    # (k <= n). Real elements keep gslot == original index.
+    planes = tuple(jnp.concatenate([w, jnp.full((pad_total,), _SENTINEL)])
+                   for w in words) if pad_total else tuple(words)
+    nw = len(planes)
+
+    if D == 1:
+        out = lax.sort(planes + (jnp.arange(n + pad_total, dtype=index_dtype),),
+                       dimension=0, is_stable=False, num_keys=nw + 1)
+        return (_decode(tuple(w[:k] for w in out[:nw]), dtype, largest),
+                out[-1][:k])
+
+    def body(*ps):
+        me = lax.axis_index(axis_name)
+        gslot = (me.astype(index_dtype) * jnp.asarray(n_local, index_dtype)
+                 + lax.broadcasted_iota(index_dtype, (n_local,), 0))
+        local = lax.sort(tuple(ps) + (gslot,), dimension=0, is_stable=False,
+                         num_keys=nw + 1)
+        cand = tuple(lax.all_gather(w[:k], axis_name, tiled=True)
+                     for w in local)
+        merged = lax.sort(cand, dimension=0, is_stable=False, num_keys=nw + 1)
+        return tuple(w[:k] for w in merged)
+
+    mapped = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=tuple(P(axis_name) for _ in planes),
+        out_specs=tuple(P() for _ in range(nw + 1)),  # replicated result
+        check_vma=False,
+    )
+    out = mapped(*planes)
+    return _decode(tuple(out[:nw]), dtype, largest), out[-1]

@@ -285,6 +285,14 @@ def main() -> int:
     check("distributed_bincount (1-chip mesh)",
           np.array_equal(got, np.bincount(xu, minlength=5000)))
 
+    from radix_sorting_tpu.extras import top_k as local_top_k
+    from radix_sorting_tpu.parallel import distributed_top_k
+    tv, ti = distributed_top_k(xj, 64, mesh)
+    rv, ri = local_top_k(xj, 64)
+    check("distributed_top_k (1-chip mesh)",
+          np.array_equal(np.asarray(tv), np.asarray(rv))
+          and np.array_equal(np.asarray(ti), np.asarray(ri)))
+
     print("ALL OK" if ok else "FAILURES PRESENT")
     return 0 if ok else 1
 

@@ -173,6 +173,15 @@ def main() -> int:
                                          method="lower").astype(np.uint32))
           and np.array_equal(bc, np.bincount(small_np, minlength=5000)))
 
+    # 9) pod-scale top-k: the all_gather of local top-k candidates crosses
+    #    process boundaries here
+    from radix_sorting_tpu.extras import top_k
+    from radix_sorting_tpu.parallel import distributed_top_k
+    tv, ti = distributed_top_k(xg, 32, mesh)
+    rv, ri = top_k(jnp.asarray(x_np), 32)
+    check("top_k", np.array_equal(np.asarray(tv), np.asarray(rv))
+          and np.array_equal(np.asarray(ti), np.asarray(ri)))
+
     if failures:
         print(f"[{pid}] FAILURES: {failures}", flush=True)
         return 1

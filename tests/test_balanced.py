@@ -591,3 +591,57 @@ def test_distributed_bincount(rng, mesh):
     assert np.array_equal(got, want)
     with pytest.raises(ValueError, match="positive"):
         distributed_bincount(jnp.asarray(x), mesh, 0)
+
+
+# ---------------------------------------------------------- distributed top-k
+
+def test_distributed_top_k_vs_local(rng, mesh):
+    from radix_sorting_tpu.extras import top_k
+    from radix_sorting_tpu.parallel import distributed_top_k
+    x = rng.integers(0, 1 << 32, size=1 << 15, dtype=np.uint32)
+    for largest in (True, False):
+        vals, idx = distributed_top_k(jnp.asarray(x), 100, mesh,
+                                      largest=largest)
+        ref_v, ref_i = top_k(jnp.asarray(x), 100, largest=largest)
+        assert np.array_equal(np.asarray(vals), np.asarray(ref_v))
+        assert np.array_equal(np.asarray(idx), np.asarray(ref_i))
+
+
+def test_distributed_top_k_ties_and_ragged(rng, mesh):
+    from radix_sorting_tpu.extras import top_k
+    from radix_sorting_tpu.parallel import distributed_top_k
+    # heavy ties: tie -> lower global index, exactly like extras.top_k;
+    # n not divisible by 8 exercises the sentinel padding
+    x = rng.integers(0, 7, size=(1 << 14) + 13, dtype=np.uint32)
+    vals, idx = distributed_top_k(jnp.asarray(x), 64, mesh)
+    ref_v, ref_i = top_k(jnp.asarray(x), 64)
+    assert np.array_equal(np.asarray(vals), np.asarray(ref_v))
+    assert np.array_equal(np.asarray(idx), np.asarray(ref_i))
+    # indices really are original positions
+    assert np.array_equal(x[np.asarray(idx)], np.asarray(vals))
+
+
+def test_distributed_top_k_floats_and_u64(rng, mesh):
+    from radix_sorting_tpu.extras import top_k
+    from radix_sorting_tpu.parallel import distributed_top_k
+    f = rng.standard_normal(1 << 14).astype(np.float32)
+    f[:16] = [np.nan, np.inf, -np.inf, -0.0] * 4
+    vals, idx = distributed_top_k(jnp.asarray(f), 50, mesh)
+    ref_v, ref_i = top_k(jnp.asarray(f), 50)
+    assert np.array_equal(np.asarray(vals), np.asarray(ref_v), equal_nan=True)
+    assert np.array_equal(np.asarray(idx), np.asarray(ref_i))
+    # 64-bit numpy keys, no x64: two-plane composite
+    u = rng.integers(0, 1 << 63, size=1 << 14, dtype=np.uint64)
+    vals64, idx64 = distributed_top_k(u, 33, mesh, largest=False)
+    ref64, refi64 = top_k(u, 33, largest=False)
+    assert np.array_equal(np.asarray(vals64), np.asarray(ref64))
+    assert np.array_equal(np.asarray(idx64), np.asarray(refi64))
+
+
+def test_distributed_top_k_errors(rng, mesh):
+    from radix_sorting_tpu.parallel import distributed_top_k
+    x = jnp.asarray(rng.integers(0, 100, size=1 << 10, dtype=np.uint32))
+    with pytest.raises(ValueError, match="k must be"):
+        distributed_top_k(x, 0, mesh)
+    with pytest.raises(ValueError, match="shard size"):
+        distributed_top_k(x, 200, mesh)  # 200 > 1024/8

@@ -474,3 +474,34 @@ def test_soak_distributed_stats(seed):
     xb = (x.astype(np.int64) % 997).astype(np.uint32)
     got = np.asarray(distributed_bincount(jnp.asarray(xb), mesh, 997))
     assert np.array_equal(got, np.bincount(xb, minlength=997)), (seed, n)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_soak_distributed_top_k(seed):
+    """Randomized pod-scale top-k: random mesh size, dtype, k, direction,
+    tie density — must match extras.top_k (values AND stable indices)."""
+    import jax
+    from radix_sorting_tpu.extras import top_k
+    from radix_sorting_tpu.parallel import distributed_top_k, make_sort_mesh
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device mesh")
+    r = np.random.Generator(np.random.PCG64(0x709C + seed))
+    D = int(r.integers(2, 9))
+    mesh = make_sort_mesh(D)
+    n = int(r.integers(D, 50_000))
+    n_local = -(-n // D)
+    k = int(r.integers(1, max(2, min(n, n_local) // 1 + 1)))
+    k = min(k, n_local, n)
+    largest = bool(r.integers(0, 2))
+    kd = [np.uint32, np.int32, np.float32, np.uint64][seed % 4]
+    dom = [1 << 31, 17, 1 << 12, 1 << 60][seed % 4]  # seed%4==1: heavy ties
+    if kd is np.float32:
+        x = (r.integers(0, dom, size=n).astype(np.float32)
+             - float(dom) / 2.0)
+    else:
+        x = r.integers(0, dom, size=n).astype(kd)
+    xj = x if x.dtype.itemsize == 8 else jnp.asarray(x)
+    vals, idx = distributed_top_k(xj, k, mesh, largest=largest)
+    rv, ri = top_k(xj, k, largest=largest)
+    assert np.array_equal(np.asarray(vals), np.asarray(rv)), (seed, D, n, k)
+    assert np.array_equal(np.asarray(idx), np.asarray(ri)), (seed, D, n, k)
