@@ -36,6 +36,7 @@ from .extras import (
     value_counts,
     segmented_argsort,
     segmented_sort,
+    sort_complex,
     top_k,
     top_k_batched,
     unique_sorted,
@@ -89,6 +90,7 @@ __all__ = [
     "value_counts",
     "group_reduce",
     "unique_sorted",
+    "sort_complex",
     "unique",
     "unique_values",
     "unique_counts",

@@ -22,7 +22,7 @@ from .ops import hw_engine, kdf
 __all__ = ["lexsort", "unique_sorted", "segmented_sort", "segmented_argsort",
            "top_k_batched", "searchsorted", "bincount",
            "top_k", "merge_sorted", "nth_element", "stable_partition",
-           "value_counts", "group_reduce"]
+           "value_counts", "group_reduce", "sort_complex"]
 
 
 def _word_pairs(words, dtype):
@@ -378,10 +378,14 @@ def searchsorted(sorted_keys, queries, *, side: str = "left",
     vs the sorter's ~540 M keys/s; ROADMAP). Single-word (<= 32-bit) keys
     pick by ``method``: ``'scan'`` / ``'scan_unrolled'`` / ``'compare_all'``
     / ``'sort'`` pass through to ``jnp.searchsorted`` on the encoded plane;
-    ``'auto'`` picks ``'sort'`` on the TPU backend (a scan is log2(n)
-    SERIAL rounds, each gathering q midpoints — dead by the same gather
-    ratio) and ``'scan'`` elsewhere (CPU binary search is fine). Re-probe
-    on new parts: ``scripts/exp_searchsorted.py``.
+    ``'auto'`` on the TPU routes dispatches on the MEASURED crossover
+    (scripts/exp_searchsorted.py on-chip, n=40M: scan ~0.36 us/query
+    regardless of q; sort ~c*(n+q) — 489 ms vs scan's 41 ms at q=100k,
+    but 511 ms vs 1391 ms at q=4M): ``'sort'`` when ``32*q >= n`` (the
+    sort's cost is dominated by n, so it only pays once the query count
+    is within ~1/32 of n), else ``'scan'``. Off-TPU ``'auto'`` is
+    ``'scan'`` (CPU binary search is fine). Re-probe on new parts:
+    ``scripts/exp_searchsorted.py``.
 
     Returns an int32 array of ``len(queries)`` positions in ``[0, n]``.
     """
@@ -405,9 +409,11 @@ def searchsorted(sorted_keys, queries, *, side: str = "left",
     if len(sw) == 1:
         if method == "auto":
             # use_tpu_routes, not a raw backend check: RST_FORCE_TPU_ROUTES
-            # then exercises the TPU method choice in CI too
+            # then exercises the TPU method choice in CI too. Crossover
+            # 32*q >= n measured on-chip (see docstring).
             from .ops.pallas_kernels import use_tpu_routes
-            method = "sort" if use_tpu_routes() else "scan"
+            method = ("sort" if (use_tpu_routes() and 32 * q >= n)
+                      else "scan")
         return jnp.searchsorted(sw[0], qw[0], side=side,
                                 method=method).astype(jnp.int32)
 
@@ -683,3 +689,58 @@ def _accum_dtype(vdtype):
     if d.itemsize >= 4 or d == jnp.dtype(jnp.bool_):
         return jnp.int32 if d == jnp.dtype(jnp.bool_) else d
     return jnp.uint32 if d.kind == "u" else jnp.int32
+
+
+def sort_complex(x, *, config: SortConfig = DEFAULT_CONFIG) -> np.ndarray:
+    """``np.sort_complex``: sort by real part, ties by imaginary part.
+
+    Complex dtypes NEVER touch the device — allocating one on the TPU
+    backend poisons the whole process (every later device-to-host copy
+    fails UNIMPLEMENTED; see docs/NOTES.md backend facts). Instead the
+    host splits the numpy input into real/imag float planes, the KDF
+    encodes each (f32: one u32 plane; f64: two planes, no x64), and ONE
+    fused multi-operand device sort of the ``(real…, imag…)`` composite
+    runs on the ordinary u32 word machinery — the same design as every
+    other 64-bit+ key in this package. numpy in, numpy out.
+
+    Ordering is the KDF total order per component (like numpy: real
+    first, imaginary breaking ties; unlike numpy's comparison sort,
+    -0.0 < +0.0 and NaNs order by sign/payload — consistent with this
+    package's float sorts). ``config.descending`` reverses the order
+    (numpy's is ascending-only). Real/integer numpy input is promoted to
+    complex first, like ``np.sort_complex``.
+    """
+    if not isinstance(x, np.ndarray):
+        raise TypeError(
+            "sort_complex takes a NUMPY array: complex dtypes cannot be "
+            "allocated on the TPU backend (one attempt poisons the process) "
+            "— the host splits real/imag planes instead")
+    if x.ndim != 1:
+        raise ValueError(f"keys must be 1-D, got shape {x.shape}")
+    if x.dtype.kind != "c":
+        # match np.sort_complex's promotion: half/single -> complex64,
+        # everything else (int, float64) -> complex128
+        x = x.astype(np.complex64 if x.dtype in (np.float16, np.float32)
+                     else np.complex128)
+    if x.shape[0] == 0:
+        return x.copy()
+    re = np.ascontiguousarray(x.real)
+    im = np.ascontiguousarray(x.imag)
+    desc = config.descending
+    if x.dtype == np.complex64:
+        rw = kdf.encode(jnp.asarray(re), desc)
+        iw = kdf.encode(jnp.asarray(im), desc)
+    else:
+        rw = kdf.encode64_np(re, desc)
+        iw = kdf.encode64_np(im, desc)
+    out = hw_engine.sort_words(tuple(rw) + tuple(iw), (), stable=False)[0]
+    nr = len(rw)
+    if x.dtype == np.complex64:
+        re_s = np.asarray(kdf.decode(out[:nr], jnp.float32, desc))
+        im_s = np.asarray(kdf.decode(out[nr:], jnp.float32, desc))
+    else:
+        re_s = kdf.decode64_np(out[:nr], np.float64, desc)
+        im_s = kdf.decode64_np(out[nr:], np.float64, desc)
+    res = np.empty(x.shape, x.dtype)
+    res.real, res.imag = re_s, im_s
+    return res

@@ -466,3 +466,75 @@ def test_lexsort_int4_packing(rng):
     assert len(packed) == 1  # 4 + 16 + 8 + 4 = 32 bits: one operand
     perm = np.asarray(lexsort([ja, jnp.asarray(b), jnp.asarray(c)]))
     assert np.array_equal(perm, np.lexsort((a, b, c)).astype(np.uint32))
+
+
+# ------------------------------------------------------------- sort_complex
+
+def test_sort_complex_vs_numpy(rng):
+    from radix_sorting_tpu.extras import sort_complex
+    # heavy real-part ties so the imag tiebreak is load-bearing
+    re = rng.integers(-50, 50, size=20_000).astype(np.float32)
+    im = rng.standard_normal(20_000).astype(np.float32)
+    x = (re + 1j * im).astype(np.complex64)
+    got = sort_complex(x)
+    assert got.dtype == np.complex64
+    assert np.array_equal(got, np.sort_complex(x).astype(np.complex64))
+
+
+def test_sort_complex_128_and_promotion(rng):
+    from radix_sorting_tpu.extras import sort_complex
+    re = rng.integers(-9, 9, size=5_000).astype(np.float64) * 1e300
+    im = rng.standard_normal(5_000) * 1e-300
+    x = re + 1j * im
+    got = sort_complex(x)
+    assert got.dtype == np.complex128
+    assert np.array_equal(got, np.sort_complex(x))
+    # real input promotes like np.sort_complex
+    r = rng.standard_normal(1_000).astype(np.float64)
+    assert np.array_equal(sort_complex(r), np.sort_complex(r))
+    ri = rng.integers(0, 1000, size=1_000).astype(np.int32)
+    got_i = sort_complex(ri)
+    assert got_i.dtype == np.complex128
+    assert np.array_equal(got_i, np.sort_complex(ri))
+
+
+def test_sort_complex_specials_and_errors(rng):
+    from radix_sorting_tpu.extras import sort_complex
+    from radix_sorting_tpu import SortConfig
+    x = np.array([1 + 1j, 1 - 1j, -np.inf + 0j, np.inf + 0j,
+                  0 + 0j, -1 + 5j, 1 + 0j], np.complex64)
+    got = sort_complex(x)
+    assert np.array_equal(got, np.sort_complex(x).astype(np.complex64))
+    # descending = exact reverse for distinct finite values
+    gd = sort_complex(x, config=SortConfig(descending=True))
+    assert np.array_equal(gd, got[::-1])
+    assert sort_complex(np.zeros(0, np.complex64)).shape == (0,)
+    with pytest.raises(TypeError, match="NUMPY"):
+        sort_complex(jnp.zeros((4,), jnp.float32))
+    with pytest.raises(ValueError, match="1-D"):
+        sort_complex(np.zeros((2, 2), np.complex64))
+
+
+def test_searchsorted_auto_crossover(rng, monkeypatch):
+    """auto must pick scan below the measured 32*q >= n crossover and sort
+    above it on the TPU routes — both giving identical results."""
+    from radix_sorting_tpu.extras import searchsorted
+    import radix_sorting_tpu.ops.pallas_kernels as pk
+    a = np.sort(rng.integers(0, 1 << 32, size=4096, dtype=np.uint32))
+    v = rng.integers(0, 1 << 32, size=64, dtype=np.uint32)
+    want = np.searchsorted(a, v)
+    chosen = []
+    real = jnp.searchsorted
+
+    def spy(sk, qk, side="left", method=None, **kw):
+        chosen.append(method)
+        return real(sk, qk, side=side, method=method, **kw)
+
+    monkeypatch.setattr(pk, "use_tpu_routes", lambda: True)
+    monkeypatch.setattr(jnp, "searchsorted", spy)
+    got = np.asarray(searchsorted(jnp.asarray(a), jnp.asarray(v)))
+    assert np.array_equal(got, want) and chosen[-1] == "scan"  # 64*32 < 4096? no: 2048 < 4096 -> scan
+    big_v = rng.integers(0, 1 << 32, size=256, dtype=np.uint32)
+    got = np.asarray(searchsorted(jnp.asarray(a), jnp.asarray(big_v)))
+    assert chosen[-1] == "sort"  # 256*32 = 8192 >= 4096
+    assert np.array_equal(got, np.searchsorted(a, big_v))
