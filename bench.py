@@ -14,8 +14,16 @@ Methodology notes (this environment):
   dependence between iterations, and timing is closed by a host readback —
   the same steady-state style as the reference's Google-benchmark runs
   (`radix_bench.cpp:88-133`).
-* the result is self-verified (sortedness + multiset) like the reference CLI's
-  always-on `-DVERIFY_SORT` (`radix_experiment.cpp:208-212`).
+* keys are generated ON DEVICE (threefry): the round-3 driver capture died
+  uploading the 160 MB host dataset through the ~15 MB/s tunnel before the
+  first measurement stage (BENCH_r03.json, stage "data on device").
+* the result is self-verified like the reference CLI's always-on
+  `-DVERIFY_SORT` (`radix_experiment.cpp:208-212`): a full-array ON-DEVICE
+  comparison against XLA's independent stable sorter (nothing large crosses
+  the tunnel), plus a 1M-key host-side numpy spot check.
+* every stage transition is timestamped; the stage history ships in the
+  JSON (success or watchdog failure) so a degraded-window capture is
+  diagnosable after the fact.
 """
 
 import json
@@ -29,13 +37,19 @@ import numpy as np
 BASELINE_MKEYS = 404.3  # reference best steady-state, BASELINE.md
 
 
+def _mark(state: dict, stage: str) -> None:
+    state["stage"] = stage
+    state["history"].append([stage, round(time.perf_counter()
+                                          - state["t0"], 1)])
+
+
 def _arm_watchdog(budget_s: float, state: dict) -> threading.Timer:
     """Emit ONE labeled JSON line and exit if no result lands in budget_s.
 
     The axon tunnel has day-long outages where even jax registration hangs
     (ROADMAP "measurement hygiene" 2026-08-17/18); without this the driver's
     round record would be an empty tail. A labeled zero-value record with
-    the stage reached is an honest, parseable account of the outage. The
+    the stage history is an honest, parseable account of the outage. The
     timer is a daemon THREAD (not SIGALRM): a C-level socket wait may never
     return to the interpreter for a signal handler to run.
     """
@@ -49,6 +63,8 @@ def _arm_watchdog(budget_s: float, state: dict) -> threading.Timer:
             "error": ("watchdog: no result within "
                       f"{budget_s:.0f}s — TPU tunnel unreachable or "
                       f"degraded (stage reached: {state.get('stage')})"),
+            "stage_history": state.get("history"),
+            "canary_history_ms": state.get("canaries"),
         }
         print(json.dumps(rec), flush=True)
         os._exit(1)
@@ -60,7 +76,9 @@ def _arm_watchdog(budget_s: float, state: dict) -> threading.Timer:
 
 
 def main() -> int:
-    state = {"stage": "startup"}
+    state = {"stage": "startup", "history": [], "canaries": [],
+             "t0": time.perf_counter()}
+    _mark(state, "startup")
     # 20 min: ample for the real-TPU run (2-4 min steady + compiles + the
     # canary's bounded degraded-window waits) while still beating typical
     # harness timeouts so the labeled line lands in the recorded tail. A
@@ -77,37 +95,49 @@ def main() -> int:
     from jax import lax
 
     import radix_sorting_tpu as rst
-    from radix_sorting_tpu.utils import keyfile
 
-    state["stage"] = "imports done (tunnel registered)"
+    _mark(state, "imports done (tunnel registered)")
     # RST_BENCH_N: test hook for verifying the bench CONTRACT (one JSON
     # line, all fields) off-chip quickly; the driver never sets it, so
     # recorded numbers are always the headline 40M workload.
     n = int(os.environ.get("RST_BENCH_N", 40_000_000))
-    keys = keyfile.generate_keys(n)
-    x = jnp.asarray(keys)
-    state["stage"] = "data on device"
+    # Keys are born IN HBM — uniform u32 via threefry. (The host PCG64
+    # dataset of utils.keyfile is bit-reproducible for parity work; for
+    # throughput only uniformity matters, and the 160 MB upload was the
+    # round-3 single point of failure.)
+    x = jax.jit(lambda: jax.random.bits(
+        jax.random.PRNGKey(0x5EED), (n,), jnp.uint32))()
+    np.asarray(x[-1:])  # materialize before any timing
+    _mark(state, "data generated on device")
 
     # Degraded-window guard: the shared slice has windows where the 74 ms
     # sorter reads 10-25x slow (ROADMAP "measurement hygiene"). A number
     # recorded inside one is meaningless, so gate the measurement on a tiny
     # canary — the 4M sorter steady (healthy < 20 ms; threshold 30 ms allows
-    # tenancy jitter) — and wait out up to ~3 minutes of degradation before
-    # proceeding regardless (the canary is recorded either way).
-    xc = x[: 1 << 22]
+    # tenancy jitter) — and wait out bounded stretches of degradation before
+    # proceeding regardless (the canary history is recorded either way).
+    xc = x[: min(n, 1 << 22)]
     canary = jax.jit(lambda v: lax.fori_loop(
         0, 10, lambda i, c: lax.sort(c) * np.uint32(2654435761)
         + (c[-1] & np.uint32(1)), v))
     np.asarray(canary(xc)[-1:])  # compile + warm
-    canary_ms = None
-    for attempt in range(4):
-        t0 = time.perf_counter()
-        np.asarray(canary(xc)[-1:])
-        canary_ms = (time.perf_counter() - t0) / 10 * 1e3
-        if canary_ms < 30.0 or attempt == 3:
-            break
-        time.sleep(60)
-    state["stage"] = f"canary {canary_ms:.1f} ms"
+    _mark(state, "canary compiled")
+
+    def canary_probe(max_attempts, sleep_s):
+        ms = None
+        for attempt in range(max_attempts):
+            t0 = time.perf_counter()
+            np.asarray(canary(xc)[-1:])
+            ms = (time.perf_counter() - t0) / 10 * 1e3
+            state["canaries"].append(round(ms, 2))
+            if ms < 30.0:
+                break
+            if attempt < max_attempts - 1:
+                time.sleep(sleep_s)
+        return ms
+
+    canary_ms = canary_probe(4, 60)
+    _mark(state, f"canary {canary_ms:.1f} ms")
 
     def sort_once(a):
         # the public keys-only path: KDF encode -> unstable hardware sort
@@ -140,18 +170,42 @@ def main() -> int:
     # compile + warm
     r = steady(x)
     np.asarray(r[-1:])
-    state["stage"] = "headline compiled"
-    dt = 1e9
-    for _ in range(2):
-        t0 = time.perf_counter()
-        r = steady(x)
-        np.asarray(r[-1:])  # host readback closes the async pipeline
-        dt = min(dt, (time.perf_counter() - t0) / K)
-    state["stage"] = "headline measured"
+    _mark(state, "headline compiled")
 
-    # verification run (exact output, like -DVERIFY_SORT)
-    out = np.asarray(sort_once(x))
-    ok = bool(np.array_equal(out, np.sort(keys)))
+    def measure_headline():
+        best = 1e9
+        for _ in range(2):
+            t0 = time.perf_counter()
+            rr = steady(x)
+            np.asarray(rr[-1:])  # host readback closes the async pipeline
+            best = min(best, (time.perf_counter() - t0) / K)
+        return best
+
+    # Full-pipeline degraded-window retry (round-3 lesson: one linear
+    # attempt is not resilient on a slice with hour-long bad windows).
+    # A healthy 40M sort on this part is ~71-75 ms; accept < 4x that,
+    # else re-gate on the canary and re-measure, up to 3 rounds.
+    dt = None
+    for round_i in range(3):
+        dt = measure_headline()
+        _mark(state, f"headline measured {dt * 1e3:.1f} ms (round {round_i})")
+        if n != 40_000_000 or dt < 0.300:
+            break
+        canary_ms = canary_probe(3, 45)
+        _mark(state, f"re-gate canary {canary_ms:.1f} ms")
+
+    # Verification (like -DVERIFY_SORT), nothing large across the tunnel:
+    # full-array ON-DEVICE equality against XLA's stable sorter (an
+    # independent sorter configuration), closed by a 1-byte readback...
+    out = sort_once(x)
+    ok_dev = bool(np.asarray(jnp.array_equal(out, jnp.sort(x))))
+    # ...plus a 1M-key host numpy spot check (exact, different oracle).
+    m = min(n, 1_000_000)
+    xs = np.asarray(x[:m])
+    ok_host = bool(np.array_equal(np.asarray(sort_once(jnp.asarray(xs))),
+                                  np.sort(xs)))
+    ok = ok_dev and ok_host
+    _mark(state, "verified")
 
     # secondary showcase rates, same steady-state methodology (recorded as
     # extra keys of the same single JSON line)
@@ -180,10 +234,11 @@ def main() -> int:
         return c ^ (s[0] & np.uint32(1)) ^ np.uint32(1)
 
     dt_masked = steady_rate(masked_once, xm, 10)
+    _mark(state, "masked measured")
 
     # 16-bit full-domain keys: the windowed-regeneration counting tier
     # (round 2; ops/pallas_kernels.regenerate_windowed_tpu)
-    xu16 = jnp.asarray(keys.astype(np.uint16))
+    xu16 = (x & np.uint32(0xFFFF)).astype(jnp.uint16)
 
     def u16_once(c):
         (w,) = rst.ops.kdf.encode(c)
@@ -192,6 +247,7 @@ def main() -> int:
         return c ^ dep ^ np.uint16(1)
 
     dt_u16 = steady_rate(u16_once, xu16, 8)
+    _mark(state, "u16 measured")
 
     ROW = 4096
     xb = x[: (n // ROW) * ROW].reshape(-1, ROW)
@@ -203,6 +259,7 @@ def main() -> int:
         return c ^ dep ^ np.uint32(1)
 
     dt_batched = steady_rate(batched_once, xb, 10)
+    _mark(state, "batched measured")
 
     mkeys = n / dt / 1e6
     rec = {
@@ -216,6 +273,8 @@ def main() -> int:
         "u16_full_Mkeys": round(n / dt_u16 / 1e6, 1),
         "batched_rows_Mkeys": round(xb.size / dt_batched / 1e6, 1),
         "canary_4M_ms": round(canary_ms, 2),
+        "canary_history_ms": state["canaries"],
+        "stage_history": state["history"],
         "device": str(jax.devices()[0]),
         "n": n,
     }

@@ -361,6 +361,12 @@ def bincount(x, *, length: Optional[int] = None, validate: bool = False):
     return digit_histogram(w, length)
 
 
+# searchsorted query-batch block size: one q=40M dispatch kernel-faulted the
+# TPU worker (ROADMAP 2026-08-19); larger batches run as lax.map chunks of
+# this size. Module-level so tests can shrink it to cover the chunked path.
+_SEARCHSORTED_QBLOCK = 1 << 22
+
+
 def searchsorted(sorted_keys, queries, *, side: str = "left",
                  method: str = "auto",
                  config: SortConfig = DEFAULT_CONFIG):
@@ -387,6 +393,10 @@ def searchsorted(sorted_keys, queries, *, side: str = "left",
     ``'scan'`` (CPU binary search is fine). Re-probe on new parts:
     ``scripts/exp_searchsorted.py``.
 
+    Query batches past 4M run as ``lax.map`` blocks (every path): a single
+    q=40M dispatch faulted the TPU worker (ROADMAP 2026-08-19); blocking
+    bounds each dispatch's intermediates with identical results.
+
     Returns an int32 array of ``len(queries)`` positions in ``[0, n]``.
     """
     if side not in ("left", "right"):
@@ -406,6 +416,20 @@ def searchsorted(sorted_keys, queries, *, side: str = "left",
     if n == 0:
         return jnp.zeros((q,), jnp.int32)
 
+    # Large query batches are processed in <= 4M-query blocks (lax.map):
+    # a single q=40M dispatch kernel-faulted the TPU worker and left the
+    # process UNAVAILABLE (ROADMAP searchsorted crossover, 2026-08-19);
+    # blocking bounds every intermediate (scan gather chains, tagged-union
+    # sort operands) with no accuracy cost — padded queries are sliced off.
+    QBLOCK = _SEARCHSORTED_QBLOCK
+
+    def _chunked(fn, qwords):
+        pad = (-q) % QBLOCK
+        qp = tuple(jnp.concatenate([w, jnp.zeros((pad,), jnp.uint32)])
+                   if pad else w for w in qwords)
+        out = jax.lax.map(fn, tuple(w.reshape(-1, QBLOCK) for w in qp))
+        return out.reshape(-1)[:q]
+
     if len(sw) == 1:
         if method == "auto":
             # use_tpu_routes, not a raw backend check: RST_FORCE_TPU_ROUTES
@@ -414,6 +438,11 @@ def searchsorted(sorted_keys, queries, *, side: str = "left",
             from .ops.pallas_kernels import use_tpu_routes
             method = ("sort" if (use_tpu_routes() and 32 * q >= n)
                       else "scan")
+        if q > QBLOCK:
+            return _chunked(
+                lambda qb: jnp.searchsorted(sw[0], qb[0], side=side,
+                                            method=method),
+                (qw[0],)).astype(jnp.int32)
         return jnp.searchsorted(sw[0], qw[0], side=side,
                                 method=method).astype(jnp.int32)
 
@@ -424,27 +453,35 @@ def searchsorted(sorted_keys, queries, *, side: str = "left",
     # operand-width-bound — one fewer operand is a direct win): for 'left'
     # queries take indices 0..q-1 and sorted elements q..q+n-1, for 'right'
     # the reverse, so the unique index plane alone orders every tie.
-    if side == "left":
-        idx_q = jnp.arange(q, dtype=jnp.uint32)
-        idx_s = jnp.arange(q, q + n, dtype=jnp.uint32)
-    else:
-        idx_s = jnp.arange(n, dtype=jnp.uint32)
-        idx_q = jnp.arange(n, n + q, dtype=jnp.uint32)
-    words = tuple(jnp.concatenate([s, w]) for s, w in zip(sw, qw))
-    idx = jnp.concatenate([idx_s, idx_q])
-    (_, _, sidx), _ = hw_engine.sort_words(words + (idx,), (), stable=False)
-    is_sorted_elem = ((sidx >= q) if side == "left"
-                      else (sidx < n)).astype(jnp.int32)
-    before = jnp.cumsum(is_sorted_elem) - is_sorted_elem  # exclusive count
-    # restore original query order: one inverse-permutation sort on sidx
-    # (strictly unique keys carrying the counts as payload — the engine's
-    # payload path requires the stable sorter, which unique keys make
-    # observationally identical); the query block sits at the front
-    # ('left') or back ('right') of the restored order
-    _, (restored,) = hw_engine.sort_words(
-        (sidx,), (before.astype(jnp.uint32),), stable=True)
-    out = restored[:q] if side == "left" else restored[n:]
-    return out.astype(jnp.int32)
+    def _tagged_union(qb):
+        qb_hi, qb_lo = qb
+        m = int(qb_hi.shape[0])
+        if side == "left":
+            idx_q = jnp.arange(m, dtype=jnp.uint32)
+            idx_s = jnp.arange(m, m + n, dtype=jnp.uint32)
+        else:
+            idx_s = jnp.arange(n, dtype=jnp.uint32)
+            idx_q = jnp.arange(n, n + m, dtype=jnp.uint32)
+        words = tuple(jnp.concatenate([s, w])
+                      for s, w in zip(sw, (qb_hi, qb_lo)))
+        idx = jnp.concatenate([idx_s, idx_q])
+        (_, _, sidx), _ = hw_engine.sort_words(words + (idx,), (),
+                                               stable=False)
+        is_sorted_elem = ((sidx >= m) if side == "left"
+                          else (sidx < n)).astype(jnp.int32)
+        before = jnp.cumsum(is_sorted_elem) - is_sorted_elem  # exclusive
+        # restore original query order: one inverse-permutation sort on sidx
+        # (strictly unique keys carrying the counts as payload — the
+        # engine's payload path requires the stable sorter, which unique
+        # keys make observationally identical); the query block sits at the
+        # front ('left') or back ('right') of the restored order
+        _, (restored,) = hw_engine.sort_words(
+            (sidx,), (before.astype(jnp.uint32),), stable=True)
+        return restored[:m] if side == "left" else restored[n:]
+
+    if q > QBLOCK:
+        return _chunked(_tagged_union, tuple(qw)).astype(jnp.int32)
+    return _tagged_union(tuple(qw)).astype(jnp.int32)
 
 
 def stable_partition(pred, values):
@@ -579,8 +616,112 @@ def top_k_batched(x, k: int, *, axis: int = -1, largest: bool = True,
     return _restore_axis(vals, axis), _restore_axis(out[-1][..., :k], axis)
 
 
+def _dense_ok(arr, bits_cap: int = 32) -> bool:
+    """True when ``arr`` can ride the dense group-by tier as a plain device
+    u32 plane: a jax-compatible integer/bool array of <= 32 bits (numpy
+    64-bit and byte-string inputs keep their host-side handling)."""
+    if isinstance(arr, np.ndarray) and (arr.dtype.kind == "S"
+                                        or arr.dtype.itemsize == 8):
+        return False
+    d = jnp.asarray(arr).dtype if not hasattr(arr, "dtype") else arr.dtype
+    d = jnp.dtype(d)
+    return kdf.kind(d) in ("u", "i", "b") and kdf.key_bits(d) <= bits_cap
+
+
+def _dense_value_bytes(vdtype) -> int:
+    bits = kdf.key_bits(vdtype)
+    return 1 if bits <= 8 else (2 if bits <= 16 else 4)
+
+
+def _group_reduce_dense(keys, values, *, reduce: str, groups: int, size: int,
+                        config: SortConfig):
+    """Dense group-by tier: keys promised in [0, groups) — sum/mean become a
+    WEIGHTED factored-one-hot histogram on the MXU (no sort at all).
+
+    Exactness: value byte planes with per-sub-chunk f32 partials < 2^24 and
+    int32 running accumulators, shift-recombined in u32 — integer group sums
+    are exact mod 2^32 (the same 32-bit accumulation contract as the
+    sort-native route). Signed values ride a +2^(bits-1) bias (keeps narrow
+    dtypes in their byte count), corrected with ``count * bias`` after
+    recombination — still exact mod 2^32. Keys outside [0, groups) are
+    DROPPED (the `bincount` promise-violation semantics).
+
+    Measured on chip (scripts/exp_group_reduce.py, 40M rows): the one-plane
+    probe runs 14.7 ms at 2^4 groups / 17.8 ms at 2^10 vs 497 ms for the
+    sort-native route — the byte-plane recipe multiplies MXU work by
+    (value_bytes + 1), still ~7x net at 2^10 for i32 values.
+    """
+    from .api import _decode
+
+    from .ops.pallas_kernels import use_tpu_routes, weighted_histogram_tpu
+
+    ka = jnp.asarray(keys)
+    va = jnp.asarray(values)
+    kdtype = ka.dtype
+    vdtype = va.dtype
+    G = int(groups)
+    w = ka.astype(jnp.uint32)
+
+    vbits = kdf.key_bits(vdtype)
+    vkind = kdf.kind(vdtype)
+    B = _dense_value_bytes(vdtype)
+    bias = np.uint32((1 << (vbits - 1)) & 0xFFFFFFFF) if vkind == "i" else None
+    vu = va.astype(jnp.uint32)
+    if bias is not None:
+        vu = vu + bias  # u32 wrap: v + 2^(bits-1) mod 2^32, fits B bytes
+
+    if use_tpu_routes():
+        bins = 1 << max(2, (G - 1).bit_length())  # kernel needs >= 4 bins
+        planes = weighted_histogram_tpu(w, vu, bins.bit_length() - 1, B, G)
+        counts = planes[0, :G]
+        tot = jnp.zeros((G,), jnp.uint32)
+        for p in range(B):
+            tot = tot + (planes[p + 1, :G].astype(jnp.uint32)
+                         << jnp.uint32(8 * p))
+    else:
+        # scatter-add is cheap off-TPU and wraps mod 2^32 identically;
+        # out-of-range keys clamp into a dropped overflow bucket
+        ki = jnp.where(w < jnp.uint32(G), w, jnp.uint32(G)).astype(jnp.int32)
+        counts = jax.ops.segment_sum(jnp.ones_like(ki), ki,
+                                     num_segments=G + 1)[:G]
+        tot = jax.ops.segment_sum(vu, ki, num_segments=G + 1)[:G]
+    if bias is not None:
+        tot = tot - counts.astype(jnp.uint32) * bias  # undo bias, mod 2^32
+
+    acc = _accum_dtype(vdtype)
+    tot = lax_bitcast(tot, acc) if jnp.dtype(acc) == jnp.int32 else tot
+
+    present = counts > 0
+    num_groups = jnp.sum(present, dtype=jnp.int32)
+    desc = config.descending
+    pm = present[::-1] if desc else present
+    pos, = jnp.nonzero(pm, size=size, fill_value=G)
+    live = jnp.arange(size) < num_groups
+    gid = jnp.clip((G - 1) - pos if desc else pos, 0, G - 1).astype(jnp.uint32)
+
+    ones = np.uint32(0xFFFFFFFF)
+    enc = kdf.encode(gid.astype(kdtype), descending=desc)
+    ukeys = _decode(tuple(jnp.where(live, we, ones) for we in enc),
+                    kdtype, desc)
+
+    gtot = tot[gid]
+    if reduce == "mean":
+        lens = jnp.maximum(counts[gid], 1)
+        mean = jnp.asarray(gtot, jnp.float32) / lens.astype(jnp.float32)
+        return ukeys, jnp.where(live, mean, 0.0), num_groups
+    return ukeys, jnp.where(live, gtot, 0), num_groups
+
+
+def lax_bitcast(x, dtype):
+    """Exact bit-pattern cast (u32<->i32): astype would be a value convert
+    whose out-of-range behavior is backend-defined; bitcast is total."""
+    return jax.lax.bitcast_convert_type(x, dtype)
+
+
 def group_reduce(keys, values, *, reduce: str = "sum",
                  size: Optional[int] = None,
+                 groups: Optional[int] = None,
+                 validate: bool = False,
                  config: SortConfig = DEFAULT_CONFIG):
     """Per-unique-key reduction of ``values`` (a sort-native group-by).
 
@@ -597,6 +738,22 @@ def group_reduce(keys, values, *, reduce: str = "sum",
     elements and ``sum`` is a cumulative-sum difference at the boundaries.
     No scatter/segment_sum formulation anywhere (a scatter-add is a
     per-element op, measured dead on this hardware — ROADMAP).
+
+    **Dense tier** (``groups=G``): a promise that every key is a
+    non-negative integer < ``G``. ``sum``/``mean`` over integer/bool values
+    then skip the sort entirely — a weighted factored-one-hot histogram on
+    the MXU (:func:`~radix_sorting_tpu.ops.pallas_kernels.weighted_histogram_tpu`;
+    measured ~28x the sort-native route at 2^10 groups / 40M rows, ~7x after
+    the exact byte-plane recipe). Applies when ``(value_bytes + 1) * G <=
+    2^17`` (past that the per-element MXU MACs exceed the sorter's cost —
+    ROADMAP wide-tier crossover); wider promises, float/64-bit values and
+    ``min``/``max`` keep the sort-native route. With ``groups`` given,
+    ``size`` defaults to ``min(n, groups)`` (route-independent shapes).
+    ``groups`` is a PROMISE like ``value_mask``: violations give
+    route-dependent results (the dense tier drops out-of-range keys, the
+    sort-native fallback keeps them as ordinary keys) — pass
+    ``validate=True`` to pay one max reduce + host sync and get a
+    ValueError instead.
 
     ``min``/``max`` follow the KDF total order (a NaN payload in the values
     is greater than +inf; -0.0 < +0.0). ``sum``/``mean`` accumulate
@@ -615,13 +772,32 @@ def group_reduce(keys, values, *, reduce: str = "sum",
     if reduce not in ("sum", "mean", "min", "max"):
         raise ValueError(
             f"reduce must be sum|mean|min|max, got {reduce!r}")
+    if groups is not None:
+        groups = int(groups)
+        if groups < 1:
+            raise ValueError(f"groups must be >= 1, got {groups}")
+        if not _dense_ok(keys):
+            raise TypeError(
+                "groups promises non-negative integer keys < groups; "
+                f"got key dtype {getattr(keys, 'dtype', type(keys))}")
+        if validate and int(jnp.asarray(keys).shape[0]):
+            hi = int(jnp.max(jnp.asarray(keys).astype(jnp.uint32)))
+            if hi >= groups:
+                raise ValueError(
+                    f"group keys outside [0, {groups}): max raw bits 0x{hi:X}")
     kw, kdtype = _as_words(keys, config.descending)
     vw, vdtype = _as_words(values, False)
     if kw[0].shape != vw[0].shape:
         raise ValueError("values must match the keys' length")
     n = int(kw[0].shape[0])
     if size is None:
-        size = n
+        size = min(n, groups) if groups is not None else n
+    if (groups is not None and n > 0 and reduce in ("sum", "mean")
+            and _dense_ok(values)
+            and (_dense_value_bytes(jnp.asarray(values).dtype) + 1)
+            * (1 << max(2, (groups - 1).bit_length())) <= (1 << 17)):
+        return _group_reduce_dense(keys, values, reduce=reduce,
+                                   groups=groups, size=size, config=config)
     host64 = (isinstance(vdtype, np.dtype) and vdtype.itemsize == 8
               and not jax.config.jax_enable_x64)
     if n == 0:
@@ -718,9 +894,10 @@ def sort_complex(x, *, config: SortConfig = DEFAULT_CONFIG) -> np.ndarray:
     if x.ndim != 1:
         raise ValueError(f"keys must be 1-D, got shape {x.shape}")
     if x.dtype.kind != "c":
-        # match np.sort_complex's promotion: half/single -> complex64,
-        # everything else (int, float64) -> complex128
-        x = x.astype(np.complex64 if x.dtype in (np.float16, np.float32)
+        # match np.sort_complex's promotion exactly: int8/int16/uint8/
+        # uint16 ('bhBH') -> complex64, everything else (all floats
+        # incl. f16/f32, wider ints) -> complex128
+        x = x.astype(np.complex64 if x.dtype.char in "bhBH"
                      else np.complex128)
     if x.shape[0] == 0:
         return x.copy()

@@ -590,10 +590,136 @@ def distributed_unique_sorted(x, mesh: Mesh, axis_name: str = "shards",
     return vals, counts, overflow
 
 
+def _distributed_group_reduce_dense(keys, values, mesh: Mesh, axis_name: str,
+                                    reduce: str, groups: int):
+    """Dense-key pod-scale group-by: NO distributed sort at all.
+
+    With keys promised in [0, G), every reduction that has an additive form
+    (sum/mean/count) is one LOCAL weighted histogram per shard
+    (:func:`..ops.pallas_kernels.weighted_histogram_tpu` — counts plane +
+    value byte planes, int32, exact mod 2^32) followed by a single
+    ``psum`` of the (value_bytes + 1, G) plane stack — O(G) bytes on the
+    wire instead of the balanced path's O(n/D) all_to_all rounds. The
+    psum'd planes are replicated, so each shard compacts the SAME present
+    mask and emits its static ``ceil(G/D)`` slice of the globally sorted
+    unique keys — the same output contract as the sort-backed path.
+
+    Same exactness recipe as the local dense tier (`extras._group_reduce_dense`):
+    signed values ride a +2^(bits-1) bias corrected by ``count * bias``
+    after the psum; all arithmetic wraps mod 2^32 coherently.
+    """
+    from ..api import _decode
+    from ..extras import _accum_dtype, _dense_value_bytes
+    from ..ops import kdf
+    from ..ops.pallas_kernels import (histogram_tpu, use_tpu_routes,
+                                      weighted_histogram_tpu)
+
+    ka = jnp.asarray(keys)
+    kdtype = ka.dtype
+    G = int(groups)
+    D = mesh.shape[axis_name]
+    w = ka.astype(jnp.uint32)
+    bins = 1 << max(2, (G - 1).bit_length())
+    rbits = bins.bit_length() - 1
+    S = -(-G // D)  # static per-shard output rows
+    if reduce == "count":
+        va, B, bias, acc = None, 0, None, jnp.int32
+    else:
+        va = jnp.asarray(values)
+        vbits = kdf.key_bits(va.dtype)
+        B = _dense_value_bytes(va.dtype)
+        bias = (np.uint32((1 << (vbits - 1)) & 0xFFFFFFFF)
+                if kdf.kind(va.dtype) == "i" else None)
+        acc = _accum_dtype(va.dtype)
+    pad = (-int(w.shape[0])) % D
+    if pad:
+        w = jnp.concatenate([w, jnp.full((pad,), bins, jnp.uint32)])  # dropped
+        if va is not None:
+            va = jnp.concatenate([va, jnp.zeros((pad,), va.dtype)])
+
+    def body(*args):
+        wl = args[0]
+        me = lax.axis_index(axis_name)
+        if reduce == "count":
+            if use_tpu_routes():
+                counts = histogram_tpu(wl, 0, radix_bits=rbits, drop_ge=G)[:G]
+            else:
+                ki = jnp.where(wl < jnp.uint32(G), wl,
+                               jnp.uint32(G)).astype(jnp.int32)
+                counts = jax.ops.segment_sum(jnp.ones_like(ki), ki,
+                                             num_segments=G + 1)[:G]
+            counts = lax.psum(counts, axis_name)
+            tot = None
+        else:
+            vl = args[1].astype(jnp.uint32)
+            if bias is not None:
+                vl = vl + bias
+            if use_tpu_routes():
+                planes = weighted_histogram_tpu(wl, vl, rbits, B, G)
+                counts = planes[0, :G]
+                tot = jnp.zeros((G,), jnp.uint32)
+                for p in range(B):
+                    tot = tot + (planes[p + 1, :G].astype(jnp.uint32)
+                                 << jnp.uint32(8 * p))
+            else:
+                ki = jnp.where(wl < jnp.uint32(G), wl,
+                               jnp.uint32(G)).astype(jnp.int32)
+                counts = jax.ops.segment_sum(jnp.ones_like(ki), ki,
+                                             num_segments=G + 1)[:G]
+                tot = jax.ops.segment_sum(vl, ki, num_segments=G + 1)[:G]
+            counts = lax.psum(counts, axis_name)
+            tot = lax.psum(tot, axis_name)
+            if bias is not None:
+                tot = tot - counts.astype(jnp.uint32) * bias
+            if jnp.dtype(acc) == jnp.int32:
+                tot = lax.bitcast_convert_type(tot, jnp.int32)
+
+        present = counts > 0
+        R = jnp.sum(present, dtype=jnp.int32)
+        # sized D*S so no shard's (start, S) window can run past the end —
+        # lax.dynamic_slice CLAMPS out-of-bounds starts, which would silently
+        # shift the last shard's slice (start <= (D-1)*q <= (D-1)*S)
+        ids_full, = jnp.nonzero(present, size=D * S, fill_value=G)
+        q = (R + D - 1) // D            # rows per shard (last may be short)
+        start = me * q
+        ids = lax.dynamic_slice(jnp.clip(ids_full, 0, G - 1).astype(jnp.uint32),
+                                (start,), (S,))
+        emit = jnp.clip(R - start, 0, q).astype(jnp.int32)
+        slot = lax.broadcasted_iota(jnp.int32, (S,), 0)
+        live = slot < emit
+        enc = kdf.encode(ids.astype(kdtype), descending=False)
+        keys_out = tuple(jnp.where(live, we, _SENTINEL) for we in enc)
+        if reduce == "count":
+            red = jnp.where(live, counts[ids], 0)
+        elif reduce == "mean":
+            red = jnp.where(
+                live,
+                jnp.asarray(tot[ids], jnp.float32)
+                / jnp.maximum(counts[ids], 1).astype(jnp.float32), 0.0)
+        else:
+            red = jnp.where(live, tot[ids], 0)
+        return (*keys_out, red, emit[None])
+
+    nk = kdf.num_words(kdtype)
+    mapped = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=tuple(P(axis_name)
+                       for _ in range(1 if reduce == "count" else 2)),
+        out_specs=tuple(P(axis_name) for _ in range(nk + 2)),
+        check_vma=False,
+    )
+    out = mapped(w) if reduce == "count" else mapped(w, va)
+    ukeys = _decode(tuple(out[:nk]), kdtype, False)
+    return ukeys, out[nk], out[-1], jnp.zeros((D,), jnp.int32)
+
+
 def distributed_group_reduce(keys, values, mesh: Mesh,
                              axis_name: str = "shards",
                              reduce: str = "sum",
-                             chunk: Optional[int] = None):
+                             chunk: Optional[int] = None,
+                             groups: Optional[int] = None,
+                             validate: bool = False):
     """Pod-scale group-by reduction: sum/mean/min/max/count per unique key.
 
     The distributed form of :func:`..extras.group_reduce`, riding the
@@ -619,13 +745,44 @@ def distributed_group_reduce(keys, values, mesh: Mesh,
     like the local op (sub-32-bit inputs in 32-bit; ``mean`` is float32) and
     require single-plane (<= 32-bit) values; ``min``/``max`` take any
     supported value dtype and follow the KDF total order.
+
+    **Dense tier** (``groups=G``, the distributed form of
+    :func:`..extras.group_reduce`'s promise): ``sum``/``mean``/``count``
+    skip the distributed sort entirely — per-shard weighted histograms +
+    ONE psum of O(G) bytes (see `_distributed_group_reduce_dense`). Gated
+    like the local tier (``(value_bytes + 1) * G <= 2^17``); the per-shard
+    output length becomes ``ceil(G/D)`` (`gather_sorted` handles either
+    layout). ``groups`` is a promise — the dense tier DROPS out-of-range
+    keys while the sort-backed fallback keeps them; ``validate=True``
+    raises instead (one max reduce + host sync).
     """
     from ..api import _as_words, _decode
-    from ..extras import _accum_dtype
+    from ..extras import _accum_dtype, _dense_ok, _dense_value_bytes
 
     if reduce not in ("sum", "mean", "min", "max", "count"):
         raise ValueError(
             f"reduce must be sum|mean|min|max|count, got {reduce!r}")
+    if groups is not None:
+        groups = int(groups)
+        if groups < 1:
+            raise ValueError(f"groups must be >= 1, got {groups}")
+        if not _dense_ok(keys):
+            raise TypeError(
+                "groups promises non-negative integer keys < groups; "
+                f"got key dtype {getattr(keys, 'dtype', type(keys))}")
+        if validate and int(jnp.asarray(keys).shape[0]):
+            hi = int(jnp.max(jnp.asarray(keys).astype(jnp.uint32)))
+            if hi >= groups:
+                raise ValueError(
+                    f"group keys outside [0, {groups}): max raw bits 0x{hi:X}")
+        vb = (0 if reduce == "count"
+              else _dense_value_bytes(jnp.asarray(values).dtype)
+              if reduce in ("sum", "mean") and _dense_ok(values) else None)
+        if (vb is not None
+                and (vb + 1) * (1 << max(2, (groups - 1).bit_length()))
+                <= (1 << 17)):
+            return _distributed_group_reduce_dense(
+                keys, values, mesh, axis_name, reduce, groups)
     kw, kdtype = _as_words(keys, False)
     if reduce == "count":
         if values is not None:

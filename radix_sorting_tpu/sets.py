@@ -231,9 +231,11 @@ def unique_counts(x, *, size: Optional[int] = None,
 def unique_inverse(x, *, size: Optional[int] = None,
                    config: SortConfig = DEFAULT_CONFIG,
                    index_dtype=jnp.uint32) -> UniqueInverseResult:
-    """numpy-2.0 ``np.unique_inverse``: ``values[inverse_indices]``
-    reconstructs ``x`` (exact regardless of ``size``); see
-    :func:`unique_values` for the fixed-shape contract."""
+    """numpy-2.0 ``np.unique_inverse``. The inverse indices themselves are
+    exact regardless of ``size``; reconstructing ``x`` as
+    ``values[inverse_indices]`` additionally requires ``size >=
+    num_unique`` (a truncated ``values`` drops slots the inverse still
+    references). See :func:`unique_values` for the fixed-shape contract."""
     r = unique(x, return_inverse=True, size=size, config=config,
                index_dtype=index_dtype)
     return UniqueInverseResult(r.values, r.inverse, r.num_unique)

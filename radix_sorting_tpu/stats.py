@@ -298,11 +298,17 @@ def histogram(x, bins: Union[int, Sequence] = 10,
     elementwise pass — no search at all); edge arrays take one
     :func:`..extras.searchsorted`. Unweighted counts ride
     :func:`..extras.bincount` (the factored one-hot MXU histogram — 40M
-    keys / 256 bins in 13.4 ms measured). Weighted sums ride
-    :func:`..extras.group_reduce` (ONE composite sort + cumsum-difference)
-    and densify with an O(#bins) scatter — never a per-element scatter-add.
+    keys / 256 bins in 13.4 ms measured). Weighted sums ride the f32
+    weighted MXU histogram on the TPU routes
+    (:func:`..ops.pallas_kernels.weighted_histogram_f32_tpu` — bf16x2
+    weight split, direct per-bin sums: *tighter* f32 error than a
+    whole-array cumsum) when the bin count fits the dense gate, else the
+    sort-native :func:`..extras.group_reduce` cumsum-difference; never a
+    per-element scatter-add on TPU. Non-finite weights poison more than
+    their own bin on either formulation — mask them out first.
     """
     from .extras import bincount, group_reduce
+    from .ops.pallas_kernels import use_tpu_routes, weighted_histogram_f32_tpu
 
     xa = jnp.asarray(x)
     if xa.ndim != 1:
@@ -344,11 +350,18 @@ def histogram(x, bins: Union[int, Sequence] = 10,
         w = jnp.asarray(weights)
         if w.shape != xa.shape:
             raise ValueError("weights must match the input's shape")
-        uk, sums, _ = group_reduce(idx.astype(jnp.uint32), w.astype(jnp.float32),
-                                   reduce="sum", size=min(n, nb + 1))
-        counts = jnp.zeros((nb + 1,), jnp.float32).at[
-            jnp.clip(uk.astype(jnp.int32), 0, nb)].add(
-            sums, mode="drop")[:nb]
+        bbins = 1 << max(2, nb.bit_length())  # covers [0, nb]; drop bin = nb
+        if use_tpu_routes() and 2 * bbins <= (1 << 17):
+            counts = weighted_histogram_f32_tpu(
+                idx.astype(jnp.uint32), w.astype(jnp.float32),
+                bbins.bit_length() - 1, drop_ge=nb + 1)[:nb]
+        else:
+            uk, sums, _ = group_reduce(idx.astype(jnp.uint32),
+                                       w.astype(jnp.float32),
+                                       reduce="sum", size=min(n, nb + 1))
+            counts = jnp.zeros((nb + 1,), jnp.float32).at[
+                jnp.clip(uk.astype(jnp.int32), 0, nb)].add(
+                sums, mode="drop")[:nb]
     if density:
         dt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
         widths = jnp.asarray(np.diff(edges), dt)

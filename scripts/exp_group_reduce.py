@@ -81,9 +81,18 @@ def main() -> int:
                               (hi, lo, w))
             return acc.reshape(-1).astype(jnp.uint32)
 
+        def dense_shipped(c, aux):
+            # the round-4 SHIPPED dense tier: exact byte-plane weighted
+            # histogram (counts + 4 value byte planes on the MXU),
+            # end-to-end through group_reduce's dispatch + compaction
+            k = c & mask
+            _, red, ng = group_reduce(k, aux, reduce="sum", groups=G)
+            return red.astype(jnp.uint32)
+
         for name, fn in (("sort_native", sort_native),
                          ("scatter_add", scatter_add),
-                         ("onehot_mxu", onehot_mxu)):
+                         ("onehot_mxu", onehot_mxu),
+                         ("dense_shipped", dense_shipped)):
             try:
                 ms = steady_chain_ms(fn, jnp.asarray(
                     rng.integers(0, 1 << 32, size=n, dtype=np.uint32)),

@@ -530,6 +530,53 @@ def test_distributed_group_reduce_small_and_errors(rng, mesh):
                                  reduce="count")
 
 
+@pytest.mark.parametrize("reduce", ["sum", "mean", "count"])
+def test_distributed_group_reduce_dense_tier(rng, mesh, reduce):
+    # groups promise: NO distributed sort — per-shard weighted histograms
+    # + one psum; output contract identical to the sort-backed route
+    from radix_sorting_tpu.parallel import distributed_group_reduce
+    n, G = (1 << 13) + 55, 1 << 9
+    k = rng.integers(0, G, size=n, dtype=np.uint32)
+    v = rng.integers(-(1 << 20), 1 << 20, size=n, dtype=np.int32)
+    vals = None if reduce == "count" else jnp.asarray(v)
+    uk_d, red_d, cnt_d, ovf = distributed_group_reduce(
+        jnp.asarray(k), vals, mesh, reduce=reduce, groups=G)
+    assert int(np.asarray(ovf).sum()) == 0
+    uk_s, red_s, cnt_s, _ = distributed_group_reduce(
+        jnp.asarray(k), vals, mesh, reduce=reduce)
+    assert np.array_equal(gather_sorted(uk_d, cnt_d),
+                          gather_sorted(uk_s, cnt_s))
+    a, b = gather_sorted(red_d, cnt_d), gather_sorted(red_s, cnt_s)
+    if reduce == "mean":
+        assert np.allclose(a, b, rtol=1e-6)
+    else:
+        assert np.array_equal(a, b)
+
+
+def test_distributed_group_reduce_dense_narrow_and_validate(rng, mesh):
+    from radix_sorting_tpu.parallel import distributed_group_reduce
+    n, G = 3_333, 37  # non-power-of-two G, n not divisible by D
+    k = rng.integers(0, G, size=n, dtype=np.int16)
+    v = rng.integers(-128, 127, size=n, dtype=np.int8)  # signed-bias path
+    uk, red, cnt, _ = distributed_group_reduce(
+        jnp.asarray(k), jnp.asarray(v), mesh, reduce="sum", groups=G)
+    ref = np.zeros(G, np.int64)
+    np.add.at(ref, k, v.astype(np.int64))
+    got_k = gather_sorted(uk, cnt)
+    assert np.array_equal(got_k, np.unique(k))
+    assert np.array_equal(gather_sorted(red, cnt),
+                          ref[got_k].astype(np.int32))
+    bad = k.copy(); bad[0] = G + 5
+    with pytest.raises(ValueError, match="outside"):
+        distributed_group_reduce(jnp.asarray(bad), jnp.asarray(v), mesh,
+                                 reduce="sum", groups=G, validate=True)
+    # min/max ignore the promise (sort-backed route, same numbers)
+    uk, red, cnt, _ = distributed_group_reduce(
+        jnp.asarray(k), jnp.asarray(v), mesh, reduce="max", groups=G)
+    uq, want = _np_group_oracle(k, v, "max")
+    assert np.array_equal(gather_sorted(red, cnt).astype(want.dtype), want)
+
+
 # ---------------------------------------------------------------------------
 # distributed_quantile / distributed_median / distributed_bincount
 

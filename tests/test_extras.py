@@ -496,6 +496,15 @@ def test_sort_complex_128_and_promotion(rng):
     got_i = sort_complex(ri)
     assert got_i.dtype == np.complex128
     assert np.array_equal(got_i, np.sort_complex(ri))
+    # numpy's exact promotion rule: 'bhBH' -> complex64, all else -> complex128
+    rf = rng.standard_normal(512).astype(np.float32)
+    got_f = sort_complex(rf)
+    assert got_f.dtype == np.sort_complex(rf).dtype == np.complex128
+    assert np.array_equal(got_f, np.sort_complex(rf))
+    rh = rng.integers(-300, 300, size=512).astype(np.int16)
+    got_h = sort_complex(rh)
+    assert got_h.dtype == np.sort_complex(rh).dtype == np.complex64
+    assert np.array_equal(got_h, np.sort_complex(rh))
 
 
 def test_sort_complex_specials_and_errors(rng):
@@ -538,3 +547,29 @@ def test_searchsorted_auto_crossover(rng, monkeypatch):
     got = np.asarray(searchsorted(jnp.asarray(a), jnp.asarray(big_v)))
     assert chosen[-1] == "sort"  # 256*32 = 8192 >= 4096
     assert np.array_equal(got, np.searchsorted(a, big_v))
+
+
+@pytest.mark.parametrize("side", ["left", "right"])
+def test_searchsorted_chunked_queries(rng, side, monkeypatch):
+    """Query batches past the block size run as lax.map chunks (the q=40M
+    worker-fault guard) — identical results on every path."""
+    import radix_sorting_tpu.extras as ex
+    monkeypatch.setattr(ex, "_SEARCHSORTED_QBLOCK", 1024)
+    a = np.sort(rng.integers(0, 1 << 20, size=5_000, dtype=np.uint32))
+    v = rng.integers(0, 1 << 20, size=4_321, dtype=np.uint32)  # 5 blocks
+    want = np.searchsorted(a, v, side=side)
+    for method in ("scan", "sort"):
+        got = np.asarray(ex.searchsorted(jnp.asarray(a), jnp.asarray(v),
+                                         side=side, method=method))
+        assert np.array_equal(got, want), method
+    # exact block multiple (no padding)
+    v2 = v[:4096]
+    got = np.asarray(ex.searchsorted(jnp.asarray(a), jnp.asarray(v2),
+                                     side=side))
+    assert np.array_equal(got, np.searchsorted(a, v2, side=side))
+    # two-word (u64) tagged-union path, chunked
+    a64 = np.sort(rng.integers(0, 1 << 60, size=3_000, dtype=np.uint64))
+    v64 = rng.integers(0, 1 << 60, size=2_500, dtype=np.uint64)
+    v64[:100] = a64[:100]  # exercise ties across the side semantics
+    got = np.asarray(ex.searchsorted(a64, v64, side=side))
+    assert np.array_equal(got, np.searchsorted(a64, v64, side=side))

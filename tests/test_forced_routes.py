@@ -266,3 +266,51 @@ def test_device_probe_skewed_inner_fallback():
     assert int(x.max()) - int(x.min()) < bins
     out = np.asarray(rst.sort(jnp.asarray(x), config=cfg))
     assert np.array_equal(out, np.sort(x))
+
+
+def test_group_reduce_dense_tier_pallas(rng):
+    # the dense group-by tier through the REAL weighted-histogram kernel
+    # (interpret mode) — counts + byte-plane sums vs the sort-native route
+    from radix_sorting_tpu.extras import group_reduce
+    n, G = 40_000, 1 << 10
+    k = rng.integers(0, G, size=n, dtype=np.uint32)
+    k[::500] = G + 3  # dropped by the kernel's drop_ge, not aliased
+    v = rng.integers(-(1 << 30), 1 << 30, size=n, dtype=np.int32)
+    uk_d, rv_d, ng_d = group_reduce(k, v, reduce="sum", groups=G)
+    ok = k < G
+    uk_s, rv_s, ng_s = group_reduce(k[ok], v[ok], reduce="sum",
+                                    size=int(ng_d))
+    m = int(ng_d)
+    assert int(ng_s) == m
+    assert np.array_equal(np.asarray(uk_d)[:m], np.asarray(uk_s)[:m])
+    assert np.array_equal(np.asarray(rv_d)[:m], np.asarray(rv_s)[:m])
+
+
+def test_group_reduce_dense_signed_bias_pallas(rng):
+    # signed narrow values: the +2^(bits-1) bias / count*bias correction
+    from radix_sorting_tpu.extras import group_reduce
+    n, G = 20_000, 32
+    k = rng.integers(0, G, size=n, dtype=np.int32)
+    v = rng.integers(-128, 128, size=n, dtype=np.int8)
+    uk, rv, ng = group_reduce(k, v, reduce="sum", groups=G)
+    ref = np.zeros(G, np.int64)
+    np.add.at(ref, k, v.astype(np.int64))
+    ids = np.asarray(uk)[: int(ng)]
+    assert np.array_equal(np.asarray(rv)[: int(ng)], ref[ids].astype(np.int32))
+
+
+def test_histogram_weighted_mxu_route(rng):
+    # f32-weighted histogram through the bf16x2 weighted MXU kernel
+    from radix_sorting_tpu.stats import histogram
+    x = rng.standard_normal(60_000).astype(np.float32)
+    w = rng.standard_normal(60_000).astype(np.float32)
+    c, edges = histogram(jnp.asarray(x), bins=12, range=(-2, 2),
+                         weights=jnp.asarray(w))
+    ce, _ = np.histogram(x, bins=12, range=(-2, 2),
+                         weights=w.astype(np.float64))
+    assert np.allclose(np.asarray(c), ce, rtol=2e-4, atol=2e-3)
+    # edge-array bins (non-uniform) take the same weighted kernel
+    eb = np.array([-2.0, -0.5, 0.0, 0.25, 1.0, 2.0])
+    c2, _ = histogram(jnp.asarray(x), bins=eb, weights=jnp.asarray(w))
+    ce2, _ = np.histogram(x, bins=eb, weights=w.astype(np.float64))
+    assert np.allclose(np.asarray(c2), ce2, rtol=2e-4, atol=2e-3)

@@ -316,6 +316,97 @@ def test_group_reduce_jit_and_edges(rng):
                      reduce="prod")
 
 
+# ------------------------------------------------------ dense group tier
+
+@pytest.mark.parametrize("vdtype", [np.int32, np.uint32, np.int8, np.uint16,
+                                    np.bool_])
+@pytest.mark.parametrize("reduce", ["sum", "mean"])
+def test_group_reduce_dense_matches_sort_native(vdtype, reduce, rng):
+    from radix_sorting_tpu.extras import group_reduce
+    n, G = 30_000, 1 << 9
+    k = rng.integers(0, G, size=n, dtype=np.uint32)
+    if vdtype == np.bool_:
+        v = (rng.integers(0, 2, size=n) > 0)
+    else:
+        v = rng.integers(np.iinfo(vdtype).min, np.iinfo(vdtype).max,
+                         size=n, dtype=vdtype)
+    for desc in (False, True):
+        cfg = SortConfig(descending=desc)
+        uk_d, rv_d, ng_d = group_reduce(k, v, reduce=reduce, groups=G,
+                                        config=cfg)
+        m = int(ng_d)
+        uk_s, rv_s, ng_s = group_reduce(k, v, reduce=reduce, size=m,
+                                        config=cfg)
+        assert int(ng_s) == m
+        assert rv_d.dtype == rv_s.dtype
+        assert uk_d.shape == (min(n, G),)  # size defaults to min(n, groups)
+        assert np.array_equal(np.asarray(uk_d)[:m], np.asarray(uk_s)[:m])
+        a, b = np.asarray(rv_d)[:m], np.asarray(rv_s)[:m]
+        if reduce == "mean":
+            assert np.allclose(a, b, rtol=1e-5)
+        else:
+            assert np.array_equal(a, b)
+        assert np.all(np.asarray(rv_d)[m:] == 0)
+
+
+def test_group_reduce_dense_mod32_wrap(rng):
+    # integer sums are exact mod 2^32 — the 32-bit accumulation contract
+    from radix_sorting_tpu.extras import group_reduce
+    n, G = 50_000, 64
+    k = rng.integers(0, G, size=n, dtype=np.int32)
+    v = rng.integers(1 << 28, (1 << 31) - 1, size=n, dtype=np.int32)
+    uk, rv, ng = group_reduce(k, v, reduce="sum", groups=G)
+    ref = np.zeros(G, np.int64)
+    np.add.at(ref, k, v.astype(np.int64))
+    want = (ref & 0xFFFFFFFF).astype(np.uint32).astype(np.int32)
+    assert np.array_equal(np.asarray(rv)[: int(ng)],
+                          want[np.asarray(uk)[: int(ng)]])
+
+
+def test_group_reduce_dense_promise_and_fallbacks(rng):
+    from radix_sorting_tpu.extras import group_reduce
+    k = rng.integers(0, 40, size=2_000, dtype=np.uint32)
+    k[::200] = 77  # promise violations
+    v = np.ones(2_000, np.int32)
+    uk, rv, ng = group_reduce(k, v, reduce="sum", groups=40)
+    assert int(np.asarray(rv).sum()) == 2_000 - 10  # dense tier drops them
+    with pytest.raises(ValueError, match="outside"):
+        group_reduce(k, v, reduce="sum", groups=40, validate=True)
+    with pytest.raises(TypeError, match="integer"):
+        group_reduce(k.astype(np.float32), v, reduce="sum", groups=40)
+    with pytest.raises(ValueError, match="groups"):
+        group_reduce(k, v, reduce="sum", groups=0)
+    # min/max with a groups promise keep the sort-native route (and keep
+    # out-of-range keys as ordinary keys)
+    uk, rv, ng = group_reduce(k, v, reduce="max", groups=128)
+    assert int(ng) == 41
+    # float values fall through to sort-native under the same size default
+    fv = rng.standard_normal(2_000).astype(np.float32)
+    uk_f, rv_f, ng_f = group_reduce(k, fv, reduce="sum", groups=128)
+    assert uk_f.shape == (128,)
+    # gate: (bytes+1)*bins > 2^17 falls back to sort-native, same answers
+    big_g = 1 << 16  # i32 values: 5 * 2^16 > 2^17
+    uk_g, rv_g, ng_g = group_reduce(k, v, reduce="sum", groups=big_g,
+                                    size=64)
+    uk_r, rv_r, ng_r = group_reduce(k, v, reduce="sum", size=64)
+    assert np.array_equal(np.asarray(rv_g)[: int(ng_r)],
+                          np.asarray(rv_r)[: int(ng_r)])
+
+
+def test_group_reduce_dense_jit_and_empty(rng):
+    from radix_sorting_tpu.extras import group_reduce
+    k = rng.integers(0, 16, size=4_096, dtype=np.uint8)
+    v = rng.integers(0, 100, size=4_096, dtype=np.uint8)
+    f = jax.jit(lambda a, b: group_reduce(a, b, reduce="mean", groups=16))
+    uk, rv, ng = f(jnp.asarray(k), jnp.asarray(v))
+    uq, want = _np_group(k, v, "mean")
+    assert int(ng) == len(uq)
+    assert np.allclose(np.asarray(rv)[: len(uq)], want, rtol=1e-5)
+    uk, rv, ng = group_reduce(jnp.zeros((0,), jnp.uint32),
+                              jnp.zeros((0,), jnp.int32), groups=8)
+    assert int(ng) == 0 and rv.shape == (0,)
+
+
 # ------------------------------------------------- review-fix regressions
 
 def test_unique_counts_only_routes_through_api_sort(rng, monkeypatch):

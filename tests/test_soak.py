@@ -505,3 +505,79 @@ def test_soak_distributed_top_k(seed):
     rv, ri = top_k(xj, k, largest=largest)
     assert np.array_equal(np.asarray(vals), np.asarray(rv)), (seed, D, n, k)
     assert np.array_equal(np.asarray(idx), np.asarray(ri)), (seed, D, n, k)
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_soak_group_reduce_dense(seed):
+    """Randomized dense group-by tier (groups promise): random G / key and
+    value dtypes / reduce / descending, mod-2^32 exactness vs an int64
+    numpy oracle, plus agreement with the sort-native route."""
+    from radix_sorting_tpu.extras import group_reduce
+    from radix_sorting_tpu import SortConfig
+    r = np.random.Generator(np.random.PCG64(0xDE45E + seed))
+    n = int(r.integers(2, 50_000))
+    G = int(r.integers(1, 1 << int(r.integers(1, 14))))
+    kd = [np.uint32, np.int32, np.uint16, np.uint8][seed % 4]
+    k = r.integers(0, min(G, np.iinfo(kd).max + 1), size=n).astype(kd)
+    vd = [np.int32, np.uint32, np.int8, np.uint8, np.int16][seed % 5]
+    v = r.integers(np.iinfo(vd).min, int(np.iinfo(vd).max) + 1,
+                   size=n).astype(vd)
+    red = ["sum", "mean"][seed % 2]
+    cfg = SortConfig(descending=bool(seed % 3 == 0))
+    uk, rv, ng = group_reduce(k, v, reduce=red, groups=G, config=cfg)
+    m = int(ng)
+    uq = np.unique(k)
+    if cfg.descending:
+        uq = uq[::-1]
+    assert m == len(uq), (seed, m, len(uq))
+    assert np.array_equal(np.asarray(uk)[:m].astype(np.int64), uq)
+    sums = np.zeros(G, np.int64)
+    np.add.at(sums, k.astype(np.int64), v.astype(np.int64))
+    cnts = np.bincount(k.astype(np.int64), minlength=G)
+    # both routes accumulate in 32 bits: wrap the int64 oracle to the
+    # accumulator dtype first (sum AND mean share the wrap by contract)
+    acc = np.uint32 if np.dtype(vd).kind == "u" else np.int32
+    want32 = (sums & 0xFFFFFFFF).astype(np.uint32).astype(acc)
+    if red == "sum":
+        got = np.asarray(rv)[:m]
+        assert np.array_equal(
+            got.astype(np.uint32), want32[uq].astype(np.uint32)), (seed, kd, vd)
+    else:
+        want = want32[uq].astype(np.float32) / np.maximum(cnts[uq], 1)
+        assert np.allclose(np.asarray(rv)[:m], want, rtol=1e-5,
+                           atol=1e-3), (seed, kd, vd)
+    # agreement with the sort-native route on the same inputs
+    uk2, rv2, ng2 = group_reduce(k, v, reduce=red, size=m, config=cfg)
+    assert int(ng2) == m
+    assert np.array_equal(np.asarray(uk)[:m], np.asarray(uk2)[:m])
+    if red == "mean":
+        assert np.allclose(np.asarray(rv)[:m], np.asarray(rv2)[:m],
+                           rtol=1e-5)
+    else:
+        assert np.array_equal(np.asarray(rv)[:m], np.asarray(rv2)[:m])
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_soak_searchsorted_chunked_large_q(seed):
+    """q of the same order as n through the chunked (lax.map) query path —
+    the guard for the q=40M worker fault — on both key widths."""
+    import radix_sorting_tpu.extras as ex
+    r = np.random.Generator(np.random.PCG64(0x40A0 + seed))
+    old = ex._SEARCHSORTED_QBLOCK
+    ex._SEARCHSORTED_QBLOCK = 1 << 12
+    try:
+        n = int(r.integers(10_000, 80_000))
+        q = int(r.integers(n // 2, 2 * n))  # q ~ n
+        side = "left" if seed % 2 else "right"
+        if seed % 2:
+            a = np.sort(r.integers(0, 1 << 30, size=n, dtype=np.uint32))
+            v = r.integers(0, 1 << 30, size=q, dtype=np.uint32)
+            got = np.asarray(ex.searchsorted(jnp.asarray(a), jnp.asarray(v),
+                                             side=side))
+        else:
+            a = np.sort(r.integers(0, 1 << 62, size=n, dtype=np.uint64))
+            v = r.integers(0, 1 << 62, size=q, dtype=np.uint64)
+            got = np.asarray(ex.searchsorted(a, v, side=side))
+        assert np.array_equal(got, np.searchsorted(a, v, side=side)), seed
+    finally:
+        ex._SEARCHSORTED_QBLOCK = old
