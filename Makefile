@@ -18,6 +18,14 @@ native:
 test:
 	$(TESTENV) $(PY) -m pytest tests/ -x -q
 
+# single source of truth for the ledger test counts (PARITY row 12 /
+# ROADMAP verification section): collection counts per opt-in gate.
+# The "selected" count of each row is what that gate ADDS.
+counts:
+	@$(TESTENV) $(PY) -m pytest tests/ -q --collect-only 2>/dev/null | tail -1 | sed 's/^/default (property+mesh): /'
+	@RST_SOAK=1 $(TESTENV) $(PY) -m pytest tests/test_soak.py -q --collect-only 2>/dev/null | tail -1 | sed 's/^/soak gate adds:           /'
+	@RST_MULTIPROC=1 $(TESTENV) $(PY) -m pytest tests/test_multiprocess.py -q --collect-only 2>/dev/null | tail -1 | sed 's/^/multiproc gate adds:       /'
+
 # sanitizer-analog pass (`MEMCHECK=1 make test` analog, Makefile:14-16):
 # checkify NaN/OOB/div checks over the engines at small sizes. Also part of
 # the plain `test` run — this target runs it alone, verbosely.

@@ -74,12 +74,95 @@ def _steady_ms(fn, x, reps, repeats=2):
     return best * 1e3
 
 
+def stage_breakdown(n: int, reps: int = 10):
+    """Per-stage timing of the headline and counting tiers (SURVEY §5
+    tracing row; the TPU analog of the reference's perf-stat sections,
+    `bench.sh:14-17` / `report/report-i7-6700k-2019-02-15.txt`).
+
+    Method: each tier is measured as PIPELINE PREFIXES (stage 1, stages
+    1-2, full), every prefix steady-looped with a data dependence on the
+    varying key input; stage cost = difference of adjacent prefixes. A
+    prefix loop cannot be constant-folded (its input varies per iteration),
+    which a fixed-input per-stage loop could be.
+    """
+    import jax.numpy as jnp
+
+    from radix_sorting_tpu.ops import counting_engine, hw_engine, kdf
+    from radix_sorting_tpu.ops.pallas_kernels import (histogram_pext_tpu,
+                                                      use_tpu_routes)
+    from radix_sorting_tpu.utils import keyfile
+
+    keys = keyfile.generate_keys(n)
+    rows = []
+
+    def prefixes(tier, x, fns, reps=reps):
+        prev = 0.0
+        for stage, fn in fns:
+            ms = _steady_ms(fn, x, reps)
+            rows.append({"tier": tier, "stage": stage,
+                         "cum_ms": round(ms, 3),
+                         "stage_ms": round(ms - prev, 3)})
+            print(json.dumps(rows[-1]), flush=True)
+            prev = ms
+
+    # headline: encode -> oblivious sort -> decode (u32 encode/decode are
+    # identity bijections — their measured cost is the stream truth)
+    prefixes("headline_u32", jnp.asarray(keys), [
+        ("encode", lambda a: kdf.encode(a)[0]),
+        ("encode+sort", lambda a: hw_engine.sort_words(
+            kdf.encode(a), stable=False)[0][0]),
+        ("full(+decode)", lambda a: kdf.decode(
+            hw_engine.sort_words(kdf.encode(a), stable=False)[0],
+            jnp.uint32)),
+    ])
+
+    if use_tpu_routes():
+        # masked 8-bit counting tier: fused PEXT histogram -> scan -> fused
+        # PDEP regeneration
+        mask = 0xF0F00000
+        xm = jnp.asarray(keys & np.uint32(mask))
+        prefixes("counting_masked_8bit", xm, [
+            ("pext_histogram", lambda c: histogram_pext_tpu(c, mask)),
+            ("+scan", lambda c: jnp.cumsum(histogram_pext_tpu(c, mask),
+                                           dtype=jnp.int32)),
+            ("full(+pdep_regen)", lambda c: counting_engine.
+             sort_words_counting((c,), (mask,))[0]),
+        ])
+
+        # u16 full-domain windowed tier: histogram -> scan -> windowed regen.
+        # Only meaningful when the REAL dispatch gate admits the tier at this
+        # n (else `full` takes the sorter fallback and skips the histogram —
+        # the prefix differencing would read a nonsense negative stage).
+        if not counting_engine._windowed_bins_ok(n, 1 << 16):
+            rows.append({"tier": "counting_u16_windowed",
+                         "stage": "skipped (windowed gate inapplicable "
+                                  f"at n={n})"})
+            print(json.dumps(rows[-1]), flush=True)
+            return rows
+        xu16 = jnp.asarray(keys.astype(np.uint16))
+
+        def enc16(c):
+            return kdf.encode(c)[0]
+
+        prefixes("counting_u16_windowed", xu16, [
+            ("pext_histogram", lambda c: histogram_pext_tpu(enc16(c), 0xFFFF)),
+            ("+scan", lambda c: jnp.cumsum(
+                histogram_pext_tpu(enc16(c), 0xFFFF), dtype=jnp.int32)),
+            ("full(+windowed_regen)", lambda c: counting_engine.
+             sort_words_counting((enc16(c),), (0xFFFF,))[0]),
+        ], reps=max(4, reps // 2))
+    return rows
+
+
 def main() -> int:
     from radix_sorting_tpu.utils.compile_cache import enable_compilation_cache
     enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="only the top sizes")
     ap.add_argument("--out", default="report", help="report directory")
+    ap.add_argument("--stages", action="store_true",
+                    help="per-stage breakdown of the headline/counting tiers")
+    ap.add_argument("--stages-n", type=int, default=40_000_000)
     args = ap.parse_args()
 
     import jax
@@ -88,6 +171,23 @@ def main() -> int:
     import radix_sorting_tpu as rst
     from radix_sorting_tpu.ops import counting_engine, hw_engine, kdf
     from radix_sorting_tpu.utils import keyfile
+
+    if args.stages:
+        rows = stage_breakdown(args.stages_n)
+        outdir = Path(args.out)
+        outdir.mkdir(parents=True, exist_ok=True)
+        sha = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                             capture_output=True,
+                             text=True).stdout.strip() or "nogit"
+        dev = str(jax.devices()[0]).replace(" ", "-")
+        path = outdir / (f"stages-{dev}-{datetime.date.today().isoformat()}"
+                         f"-{sha}.json")
+        path.write_text(json.dumps({
+            "uname": platform.uname()._asdict(), "sha": sha,
+            "device": str(jax.devices()[0]), "jax": jax.__version__,
+            "n": args.stages_n, "rows": rows}, indent=2))
+        print(f"# wrote {path}")
+        return 0
 
     keys = keyfile.generate_keys(40_000_000)
     mask = 0xF0F00000
