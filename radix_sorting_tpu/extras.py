@@ -505,6 +505,7 @@ def stable_partition(pred, values):
 
 
 def value_counts(x, *, size: Optional[int] = None,
+                 groups: Optional[int] = None,
                  config: SortConfig = DEFAULT_CONFIG):
     """Sorted unique values with their multiplicities (run-length encode).
 
@@ -515,12 +516,33 @@ def value_counts(x, *, size: Optional[int] = None,
     mass into the last kept count. Uniqueness is bitwise under the KDF total
     order (-0.0 and +0.0 are distinct, NaN payloads are distinct) —
     consistent with how the sorts order floats.
+
+    ``groups=G`` (integer keys promised in [0, G), G <= 2^17): NO sort —
+    one MXU histogram (the `bincount` machinery) + compaction, the count
+    form of :func:`group_reduce`'s dense tier. ``size`` then defaults to
+    ``min(n, groups)``; the promise semantics (drop on violation) match
+    `group_reduce`.
     """
     from . import api
 
     if np.ndim(x) != 1:
         raise ValueError(f"keys must be 1-D, got shape {jnp.shape(x)}")
     n = int(jnp.shape(x)[0])
+    if groups is not None:
+        groups = int(groups)
+        if groups < 1:
+            raise ValueError(f"groups must be >= 1, got {groups}")
+        if not _dense_ok(x):
+            raise TypeError(
+                "groups promises non-negative integer keys < groups; "
+                f"got dtype {getattr(x, 'dtype', type(x))}")
+        if size is None:
+            size = min(n, groups)
+        if n > 0 and groups <= (1 << 17):
+            xa = jnp.asarray(x)
+            counts = bincount(xa.astype(jnp.uint32), length=groups)
+            return _dense_emit(counts, None, "count", groups, size,
+                               xa.dtype, config.descending)
     if size is None:
         size = n
     if n == 0:
@@ -691,9 +713,18 @@ def _group_reduce_dense(keys, values, *, reduce: str, groups: int, size: int,
     acc = _accum_dtype(vdtype)
     tot = lax_bitcast(tot, acc) if jnp.dtype(acc) == jnp.int32 else tot
 
+    return _dense_emit(counts, tot, reduce, G, size, kdtype,
+                       config.descending)
+
+
+def _dense_emit(counts, tot, reduce, G, size, kdtype, desc):
+    """Compact a dense (G,) histogram tier result to the fixed-shape
+    ``(unique_keys, reduced, num_groups)`` group-by contract (present keys
+    sorted, maximal padding key + zero reduction past num_groups)."""
+    from .api import _decode
+
     present = counts > 0
     num_groups = jnp.sum(present, dtype=jnp.int32)
-    desc = config.descending
     pm = present[::-1] if desc else present
     pos, = jnp.nonzero(pm, size=size, fill_value=G)
     live = jnp.arange(size) < num_groups
@@ -704,6 +735,8 @@ def _group_reduce_dense(keys, values, *, reduce: str, groups: int, size: int,
     ukeys = _decode(tuple(jnp.where(live, we, ones) for we in enc),
                     kdtype, desc)
 
+    if reduce == "count":
+        return ukeys, jnp.where(live, counts[gid], 0), num_groups
     gtot = tot[gid]
     if reduce == "mean":
         lens = jnp.maximum(counts[gid], 1)

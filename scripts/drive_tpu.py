@@ -148,6 +148,18 @@ def main() -> int:
     got = np.asarray(searchsorted(a64, q64))
     check("searchsorted u64 (union sort)",
           np.array_equal(got, np.searchsorted(a64, q64)))
+    # round-4 chunked query path (the q=40M worker-fault guard): force the
+    # lax.map blocks at drive scale by shrinking the block size
+    import radix_sorting_tpu.extras as _ex
+    _old_qb = _ex._SEARCHSORTED_QBLOCK
+    _ex._SEARCHSORTED_QBLOCK = max(1024, n // 8)
+    try:
+        qc = x[: max(8, n // 2)]
+        got = np.asarray(searchsorted(jnp.asarray(a), jnp.asarray(qc)))
+        check("searchsorted chunked queries (lax.map blocks)",
+              np.array_equal(got, np.searchsorted(a, qc)))
+    finally:
+        _ex._SEARCHSORTED_QBLOCK = _old_qb
 
     # bincount: dense histogram route (np.bincount via the MXU, not scatter).
     # 12-bit values against length=1000 (1024 padded bins) also verify the
@@ -207,6 +219,22 @@ def main() -> int:
           and np.array_equal(np.asarray(uk)[: len(uq)], uq)
           and np.array_equal(np.asarray(tot)[: len(uq)].astype(np.int64),
                              want))
+
+    # round-4 DENSE group tier: weighted MXU histogram, no sort at all
+    uk, tot, ng = group_reduce(jnp.asarray(gk), jnp.asarray(gv),
+                               reduce="sum", groups=1 << 10)
+    check("group_reduce dense tier (weighted MXU histogram)",
+          int(ng) == len(uq)
+          and np.array_equal(np.asarray(uk)[: len(uq)], uq)
+          and np.array_equal(np.asarray(tot)[: len(uq)].astype(np.int64),
+                             want))
+    from radix_sorting_tpu.extras import value_counts
+    vcv, vcc, vcn = value_counts(jnp.asarray(gk), groups=1 << 10)
+    check("value_counts dense tier (MXU histogram + compaction)",
+          int(vcn) == len(uq)
+          and np.array_equal(np.asarray(vcv)[: len(uq)], uq)
+          and np.array_equal(np.asarray(vcc)[: len(uq)],
+                             np.bincount(gk, minlength=1 << 10)[uq]))
 
     # order statistics / ranking: tie-aware ranks (boundary algebra +
     # inverse-permutation restore), exact quantiles off the dispatched
@@ -270,6 +298,13 @@ def main() -> int:
     want = np.zeros(len(uq), np.int64)
     np.add.at(want, inv, gvv.astype(np.int64))
     check("distributed_group_reduce (1-chip mesh)",
+          np.array_equal(gather_sorted(uk, counts, ovf), uq)
+          and np.array_equal(
+              gather_sorted(red, counts, ovf).astype(np.int64), want))
+    # round-4 dense tier: per-shard weighted histograms + one psum
+    uk, red, counts, ovf = distributed_group_reduce(
+        jnp.asarray(gk), jnp.asarray(gvv), mesh, reduce="sum", groups=211)
+    check("distributed_group_reduce dense tier (1-chip mesh)",
           np.array_equal(gather_sorted(uk, counts, ovf), uq)
           and np.array_equal(
               gather_sorted(red, counts, ovf).astype(np.int64), want))

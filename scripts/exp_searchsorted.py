@@ -30,7 +30,12 @@ def main() -> int:
     s = jnp.asarray(np.sort(rng.integers(0, 1 << 32, size=n, dtype=np.uint32)))
     print(json.dumps({"device": str(jax.devices()[0]), "n_sorted": n}))
 
-    for q in (100_000, 4_000_000, 40_000_000):
+    # RAW single-dispatch q=40M is EXCLUDED by default: it kernel-faulted
+    # the TPU worker and left the process UNAVAILABLE (2026-08-19; ROADMAP
+    # searchsorted crossover). --raw-40m re-enables it for forensics ONLY.
+    raw_qs = (100_000, 4_000_000) + (
+        (40_000_000,) if "--raw-40m" in sys.argv else ())
+    for q in raw_qs:
         queries = jnp.asarray(rng.integers(0, 1 << 32, size=q, dtype=np.uint32))
         # compare_all omitted: O(n*q) compares is infeasible at 40M sorted
         for method in ("scan", "scan_unrolled", "sort"):
@@ -44,6 +49,19 @@ def main() -> int:
                 continue
             print(json.dumps({"q": q, "method": method, "ms": round(ms, 2),
                               "Mqueries_per_s": round(q / ms / 1e3, 1)}))
+
+    # q=40M BEHIND THE GUARD: the shipped extras.searchsorted chunked path
+    # (<= 4M-query lax.map blocks) — the round-4 fix for the worker fault
+    from radix_sorting_tpu.extras import searchsorted as ss_public
+    q = 40_000_000
+    queries = jnp.asarray(rng.integers(0, 1 << 32, size=q, dtype=np.uint32))
+    for method in ("scan", "sort"):
+        def fn(c, aux, m=method):
+            return ss_public(aux, c, method=m).astype(jnp.uint32)
+        ms = steady_chain_ms(fn, queries, reps=3, aux=s)
+        print(json.dumps({"q": q, "method": f"chunked_{method}",
+                          "ms": round(ms, 2),
+                          "Mqueries_per_s": round(q / ms / 1e3, 1)}))
 
     # the 64-bit tagged-union formulation (extras.searchsorted two-word path),
     # words-level so the scramble chain drives the query lo plane

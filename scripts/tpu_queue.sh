@@ -4,13 +4,17 @@
 #
 #   bash scripts/tpu_queue.sh [logdir]
 #
-# Steps (see memory ledger / ROADMAP "round-3 on-chip verification"):
+# Round-4 queue (see ROADMAP "round-4 on-chip verification"):
 #   0. canary health gate (abort early if the slice is degraded)
-#   1. drive_tpu.py — all 27 surfaces, host-oracle verified
-#   2. exp_device_probe.py — u64 probe numbers (pending since mid round 3)
-#   3. exp_searchsorted.py — method-default numbers for ROADMAP
-#   4. on-chip dtype suites (float8/bfloat16/int4 + extras incl. bincount)
-#   5. bench.py — headline JSON (has its own canary gate)
+#   1. drive_tpu.py — all surfaces (incl. the dense group tier + chunked
+#      searchsorted), host-oracle verified
+#   2. exp_group_reduce.py — dense_shipped vs sort_native (the >=7x claim)
+#   3. bench_suite.py --stages — per-stage timing artifact into report/
+#   4. exp_small_n.py — columnsort vs flat at 64k..4M (quadrant attack)
+#   5. exp_sol_probe.py + exp_sol_round2.py — same-day SoL constants so
+#      every refutation cites current ratios
+#   6. on-chip dtype suites (float8/bfloat16/int4 + extras)
+#   7. bench.py — headline JSON (has its own canary gate)
 set -u
 LOG=${1:-/tmp/tpu_queue_$(date +%Y%m%d_%H%M%S)}
 mkdir -p "$LOG"
@@ -30,10 +34,13 @@ QTO=420 step canary python scripts/exp_sol_probe.py --canary || {
   echo "slice unhealthy/unreachable — stopping (logs in $LOG)"; exit 1; }
 
 QTO=2400 step drive    python scripts/drive_tpu.py
-QTO=3600 step probe64  python scripts/exp_device_probe.py
-QTO=3600 step ssorted  python scripts/exp_searchsorted.py
 QTO=3600 step groupred python scripts/exp_group_reduce.py
-QTO=2400 RST_TEST_PLATFORM=axon step dtypes \
+QTO=2400 step stages   python bench_suite.py --stages --out report
+QTO=3600 step smalln   python scripts/exp_small_n.py
+QTO=3600 step ssorted  python scripts/exp_searchsorted.py
+QTO=2400 step solprobe python scripts/exp_sol_probe.py
+QTO=3600 step solr2    python scripts/exp_sol_round2.py
+QTO=2400 step dtypes env RST_TEST_PLATFORM=axon \
     python -m pytest tests/test_sort.py tests/test_kdf.py \
     tests/test_extras.py tests/test_records_rank.py tests/test_sets.py \
     tests/test_stats.py \

@@ -573,3 +573,26 @@ def test_searchsorted_chunked_queries(rng, side, monkeypatch):
     v64[:100] = a64[:100]  # exercise ties across the side semantics
     got = np.asarray(ex.searchsorted(a64, v64, side=side))
     assert np.array_equal(got, np.searchsorted(a64, v64, side=side))
+
+
+def test_value_counts_dense_groups(rng):
+    """groups promise: histogram + compaction, no sort — same contract as
+    the sort-native route."""
+    from radix_sorting_tpu.extras import value_counts
+    k = rng.integers(0, 500, size=30_000, dtype=np.uint32)
+    for desc in (False, True):
+        cfg = rst.SortConfig(descending=desc)
+        v_d, c_d, nu_d = value_counts(k, groups=512, config=cfg)
+        m = int(nu_d)
+        v_s, c_s, nu_s = value_counts(jnp.asarray(k), size=m, config=cfg)
+        assert int(nu_s) == m
+        assert v_d.shape == (512,)  # size defaults to min(n, groups)
+        assert np.array_equal(np.asarray(v_d)[:m], np.asarray(v_s)[:m])
+        assert np.array_equal(np.asarray(c_d)[:m], np.asarray(c_s)[:m])
+        assert np.all(np.asarray(c_d)[m:] == 0)
+    # promise violation drops; float keys are rejected
+    kb = k.copy(); kb[0] = 1000
+    v_d, c_d, nu_d = value_counts(kb, groups=512)
+    assert int(np.asarray(c_d).sum()) == 30_000 - 1
+    with pytest.raises(TypeError):
+        value_counts(kb.astype(np.float32), groups=512)
