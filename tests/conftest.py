@@ -22,3 +22,13 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="session")
 def rng():
     return np.random.Generator(np.random.PCG64(0xC0FFEE))
+
+
+# the axon TPU tunnel cannot consume concrete sub-byte (int4/uint4) device
+# arrays at all (RecursionError in device_put's layout reshard — see
+# radix_sorting_tpu/utils/backend_quirks.py); tests that CREATE one must
+# skip there BEFORE creating it (even creation risks wedging the client)
+skip_subbyte_on_axon = pytest.mark.skipif(
+    os.environ.get("RST_TEST_PLATFORM", "") == "axon",
+    reason="axon runtime cannot consume concrete int4/uint4 device arrays "
+           "(backend_quirks.py; the API raises a typed error there)")

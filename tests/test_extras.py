@@ -5,6 +5,7 @@ import pytest
 import jax.numpy as jnp
 
 import radix_sorting_tpu as rst
+from conftest import skip_subbyte_on_axon
 from radix_sorting_tpu.extras import lexsort, unique_sorted
 
 
@@ -368,6 +369,7 @@ def test_searchsorted_bad_method(rng):
         searchsorted(a, a, method="bisect")
 
 
+@skip_subbyte_on_axon
 @pytest.mark.parametrize("dtype", ["int4", "uint4"])
 def test_unique_sorted_sub_byte(rng, dtype):
     # regression (round-3 review): a jnp sub-byte array's uint8 view is the
@@ -443,12 +445,18 @@ def test_bincount_validate_and_errors(rng):
     assert int(np.asarray(bincount(jnp.zeros((0,), jnp.uint8))).sum()) == 0
     assert np.asarray(
         bincount(jnp.asarray(np.array([True, False, True])))).tolist() == [1, 2]
-    x4 = jnp.asarray(rng.integers(0, 16, size=500, dtype=np.int8)).astype(jnp.uint4)
-    got = np.asarray(bincount(x4))
-    assert np.array_equal(
-        got, np.bincount(np.asarray(x4.astype(jnp.int32)), minlength=16))
+    import os as _os
+    if _os.environ.get("RST_TEST_PLATFORM", "") != "axon":
+        # concrete uint4 device arrays are unusable on the axon tunnel
+        # (conftest.skip_subbyte_on_axon rationale)
+        x4 = jnp.asarray(rng.integers(0, 16, size=500,
+                                      dtype=np.int8)).astype(jnp.uint4)
+        got = np.asarray(bincount(x4))
+        assert np.array_equal(
+            got, np.bincount(np.asarray(x4.astype(jnp.int32)), minlength=16))
 
 
+@skip_subbyte_on_axon
 def test_lexsort_int4_packing(rng):
     # int4 fields must pack at their LOGICAL 4-bit width (kdf.key_bits);
     # mixed with a u16 and two u8 columns all four keys fit ONE u32 operand

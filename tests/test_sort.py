@@ -10,6 +10,7 @@ import pytest
 import jax.numpy as jnp
 
 import radix_sorting_tpu as rst
+from conftest import skip_subbyte_on_axon
 from radix_sorting_tpu.utils import verify
 
 STRATEGIES = [rst.Strategy.AUTO, rst.Strategy.HW_SORT, rst.Strategy.LSD]
@@ -368,6 +369,7 @@ def test_sort_lsd_masked_u64_compaction_route(rng):
     assert np.array_equal(out, np.sort(x))
 
 
+@skip_subbyte_on_axon
 @pytest.mark.parametrize("dtype", ["int4", "uint4"])
 def test_int4_sorts(rng, dtype):
     # sub-byte quantization dtypes: logical 4-bit width (kdf.key_bits),
