@@ -368,7 +368,7 @@ _SEARCHSORTED_QBLOCK = 1 << 22
 
 
 def searchsorted(sorted_keys, queries, *, side: str = "left",
-                 method: str = "auto",
+                 method: str = "auto", sorter=None,
                  config: SortConfig = DEFAULT_CONFIG):
     """Insertion positions of ``queries`` into a sorted array (``np.searchsorted``).
 
@@ -397,10 +397,31 @@ def searchsorted(sorted_keys, queries, *, side: str = "left",
     q=40M dispatch faulted the TPU worker (ROADMAP 2026-08-19); blocking
     bounds each dispatch's intermediates with identical results.
 
+    ``sorter`` (numpy parity, `np.searchsorted`'s third positional):
+    an integer permutation that sorts ``sorted_keys`` under this call's
+    order. numpy gathers ``a[sorter]`` lazily per comparison; a gather is
+    per-element and dead on this hardware (~80-110 M elem/s, ROADMAP), but
+    any permutation of ``a`` that is sorted IS element-wise equal to
+    ``sort(a)`` — so the TPU route replaces the gather with ONE oblivious
+    sort of the keys (~540 M keys/s) and searches that. Like numpy, the
+    "``sorter`` actually sorts ``a``" precondition is the caller's;
+    length/dtype are validated.
+
     Returns an int32 array of ``len(queries)`` positions in ``[0, n]``.
     """
     if side not in ("left", "right"):
         raise ValueError(f"side must be 'left' or 'right', got {side!r}")
+    if sorter is not None:
+        sarr = jnp.asarray(sorter)
+        if not jnp.issubdtype(sarr.dtype, jnp.integer):
+            raise TypeError(
+                f"sorter must be an integer permutation, got {sarr.dtype}")
+        if sarr.shape != jnp.shape(jnp.asarray(sorted_keys)):
+            raise ValueError(
+                f"sorter.shape {sarr.shape} must equal sorted_keys.shape "
+                f"{jnp.shape(jnp.asarray(sorted_keys))}")
+        from .api import sort as _sort
+        sorted_keys = _sort(sorted_keys, config=config)
     _METHODS = ("auto", "scan", "scan_unrolled", "compare_all", "sort")
     if method not in _METHODS:
         raise ValueError(f"method must be one of {_METHODS}, got {method!r}")

@@ -357,14 +357,92 @@ def union1d(a, b, *, size: Optional[int] = None,
     return _binary_setop(a, b, "union", size, config)
 
 
-def intersect1d(a, b, *, size: Optional[int] = None,
+def intersect1d(a, b, *, assume_unique: bool = False,
+                return_indices: bool = False,
+                size: Optional[int] = None,
                 config: SortConfig = DEFAULT_CONFIG):
     """Sorted intersection (values present in both): ``(values, count)``.
 
     ``size`` defaults to ``min(len(a), len(b))``, the exact-result bound;
     count/truncation contract as :func:`union1d`.
+
+    ``assume_unique`` is accepted for numpy-signature parity and ignored:
+    numpy uses it to skip its pre-`unique` passes, but the fused
+    merged-runs sort here is duplicate-correct at no extra cost (and
+    unlike numpy, passing it with non-unique inputs stays well-defined).
+
+    ``return_indices=True`` (``np.intersect1d``) additionally returns the
+    FIRST-occurrence positions of each common value in ``a`` and in ``b``:
+    ``(values, comm1, comm2, count)``, int32 indices, slots past ``count``
+    padded with ``len(a)`` / ``len(b)``. TPU design: the original position
+    rides the fused sort as the lowest-priority composite key (after the
+    side flag), so within every equal-value run the first A element sits at
+    the run start and the first B element at ``start + (A count in run)``
+    — one prefix sum over the flag plane, run-granular gathers only, no
+    per-element search.
     """
-    return _binary_setop(a, b, "intersect", size, config)
+    if not return_indices:
+        return _binary_setop(a, b, "intersect", size, config)
+
+    if np.ndim(a) != 1 or np.ndim(b) != 1:
+        raise ValueError("set-op inputs must be 1-D")
+    aw, da = _as_words(a, config.descending)
+    bw, db = _as_words(b, config.descending)
+    if jnp.dtype(da) != jnp.dtype(db):
+        raise TypeError(
+            f"set-op inputs must share a dtype, got {da} and {db}")
+    na, nb = int(aw[0].shape[0]), int(bw[0].shape[0])
+    n = na + nb
+    if size is None:
+        size = min(na, nb)
+    if na == 0 or nb == 0:
+        return (_max_pad(a if na else b, size, config),
+                jnp.full((size,), na, jnp.int32),
+                jnp.full((size,), nb, jnp.int32), jnp.int32(0))
+
+    flag = jnp.concatenate([jnp.zeros((na,), jnp.uint32),
+                            jnp.ones((nb,), jnp.uint32)])
+    idx = jnp.concatenate([jnp.arange(na, dtype=jnp.uint32),
+                           jnp.arange(nb, dtype=jnp.uint32)])
+    words = tuple(jnp.concatenate([wa, wb]) for wa, wb in zip(aw, bw))
+    out = hw_engine.sort_words(words + (flag, idx), (), stable=False)[0]
+    sw, sflag, sidx = out[:-2], out[-2], out[-1]
+
+    neq = _neq_prev(sw)
+    is_new = jnp.concatenate([jnp.ones((1,), jnp.bool_), neq])
+    is_last = jnp.concatenate([neq, jnp.ones((1,), jnp.bool_)])
+    num_runs = jnp.sum(is_new, dtype=jnp.int32)
+    starts, = jnp.nonzero(is_new, size=n, fill_value=n)
+    ends, = jnp.nonzero(is_last, size=n, fill_value=n)
+    at_s = jnp.clip(starts, 0, n - 1)
+    at_e = jnp.clip(ends, 0, n - 1)
+    live = jnp.arange(n) < num_runs
+    emit = live & (sflag[at_s] == 0) & (sflag[at_e] == 1)
+
+    # first B element of a run = run start + (A elements in the run):
+    # cum_a[i] = count of A-side elements in sorted positions [0, i)
+    cum_a = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                             jnp.cumsum((sflag == 0).astype(jnp.int32))])
+    count_a = cum_a[jnp.clip(ends + 1, 0, n)] - cum_a[at_s]
+    at_b = jnp.clip(starts + count_a, 0, n - 1)
+
+    comm1 = jnp.where(emit, sidx[at_s], np.uint32(na))
+    comm2 = jnp.where(emit, sidx[at_b], np.uint32(nb))
+    reps = tuple(jnp.where(emit, w[at_s], _ONES) for w in sw)
+    key = (~emit).astype(jnp.uint32)
+    _, packed = hw_engine.sort_words((key,), reps + (comm1, comm2),
+                                     stable=True)
+    vals, comm1, comm2 = packed[:-2], packed[-2], packed[-1]
+    if size > n:
+        vals = tuple(jnp.concatenate([w, jnp.full((size - n,), _ONES)])
+                     for w in vals)
+        comm1 = jnp.concatenate(
+            [comm1, jnp.full((size - n,), na, jnp.uint32)])
+        comm2 = jnp.concatenate(
+            [comm2, jnp.full((size - n,), nb, jnp.uint32)])
+    values = _decode(tuple(w[:size] for w in vals), da, config.descending)
+    return (values, comm1[:size].astype(jnp.int32),
+            comm2[:size].astype(jnp.int32), jnp.sum(emit, dtype=jnp.int32))
 
 
 def setdiff1d(a, b, *, size: Optional[int] = None,

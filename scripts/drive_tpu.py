@@ -160,6 +160,30 @@ def main() -> int:
               np.array_equal(got, np.searchsorted(a, qc)))
     finally:
         _ex._SEARCHSORTED_QBLOCK = _old_qb
+    # round-4 sorter= (numpy parity): unsorted keys + a sorting permutation;
+    # the route replaces the a[sorter] gather with one oblivious sort
+    au = x[: n // 2]
+    srt = np.argsort(au, kind="stable")
+    got = np.asarray(searchsorted(jnp.asarray(au), jnp.asarray(q),
+                                  side="right", sorter=jnp.asarray(srt)))
+    check("searchsorted sorter= (sort replaces gather)",
+          np.array_equal(got, np.searchsorted(au, q, side="right",
+                                              sorter=srt)))
+
+    # intersect1d return_indices: first-occurrence positions ride the fused
+    # sort as the lowest composite key (round 4)
+    from radix_sorting_tpu.sets import intersect1d
+    ia = (x[: n // 4] & np.uint32(0x3FFF)).astype(np.uint32)
+    ib = (x[n // 4: n // 2] & np.uint32(0x3FFF)).astype(np.uint32)
+    vals, c1, c2, cnt = intersect1d(jnp.asarray(ia), jnp.asarray(ib),
+                                    return_indices=True)
+    wv, w1, w2 = np.intersect1d(ia, ib, return_indices=True)
+    k = len(wv)
+    check("intersect1d return_indices (first occurrences)",
+          int(cnt) == k
+          and np.array_equal(np.asarray(vals)[:k], wv)
+          and np.array_equal(np.asarray(c1)[:k], w1)
+          and np.array_equal(np.asarray(c2)[:k], w2))
 
     # bincount: dense histogram route (np.bincount via the MXU, not scatter).
     # 12-bit values against length=1000 (1024 padded bins) also verify the

@@ -109,8 +109,12 @@ def main() -> int:
         print(json.dumps({"check": "all columnsort variants bit-exact"}))
         return 0
 
-    # steady-state timing: flat vs columnsort variants (chip)
-    for n in (1 << 16, 100_000, 1 << 17, 1 << 18, 1 << 20, 1 << 22):
+    # steady-state timing: flat vs columnsort variants (chip).
+    # sub-64k sizes complete the crossover curve vs the reference's
+    # cache-resident peak (the columnsort condition r >= 2(s-1)^2 rarely
+    # holds there — those sizes mostly time flat only)
+    for n in (1 << 13, 1 << 14, 1 << 15, 1 << 16, 100_000, 1 << 17,
+              1 << 18, 1 << 20, 1 << 22):
         x = jnp.asarray(rng.integers(0, 1 << 32, size=n, dtype=np.uint32))
         reps = max(10, min(200, 20_000_000 // n))
 

@@ -243,6 +243,7 @@ def exp_msd(keys, R=128, K=128, capr=24):
 
 
 def exp_pairs(keys):
+    import jax
     import jax.numpy as jnp
     from jax import lax
 
@@ -251,34 +252,68 @@ def exp_pairs(keys):
     payload = jnp.asarray(np.arange(n, dtype=np.uint32)[::-1].copy())
     idx = jnp.asarray(np.arange(n, dtype=np.uint32))
 
-    def stable2(c):
-        k, p = lax.sort((c, payload), dimension=0, is_stable=True, num_keys=1)
-        return k ^ (p & np.uint32(1))
+    # payload/idx enter the jit as RUNTIME ARGUMENTS, never closures: a
+    # closed-over device array is embedded as an HLO constant, and at 40M
+    # u32 per operand the compile request body exceeds the axon tunnel's
+    # HTTP limit (413, observed 2026-08-19 on the 2-extra-operand case) —
+    # besides inviting XLA to fold reduces over it (steady_chain_ms aux
+    # rationale).
+    def stable2(c, p, i):
+        k, po = lax.sort((c, p), dimension=0, is_stable=True, num_keys=1)
+        return k ^ (po & np.uint32(1))
 
-    def unstable3(c):
-        k, i, p = lax.sort((c, idx, payload), dimension=0, is_stable=False,
-                           num_keys=2)
-        return k ^ (p & np.uint32(1))
+    def unstable3(c, p, i):
+        k, io, po = lax.sort((c, i, p), dimension=0, is_stable=False,
+                             num_keys=2)
+        return k ^ (po & np.uint32(1))
 
-    def unstable2_rank(c):
-        k, i = lax.sort((c, idx), dimension=0, is_stable=False, num_keys=2)
-        return k ^ (i & np.uint32(1))
+    def unstable2_rank(c, p, i):
+        k, io = lax.sort((c, i), dimension=0, is_stable=False, num_keys=2)
+        return k ^ (io & np.uint32(1))
+
+    def steady_aux(fn, reps=5):
+        def outer(a, p, i):
+            def body(_, c):
+                return c * np.uint32(2654435761) + jnp.ravel(fn(c, p, i))[-1]
+            return lax.fori_loop(0, reps, body, a)
+
+        g = jax.jit(outer)
+        np.asarray(jnp.ravel(g(x, payload, idx))[-1:])
+        best = 1e9
+        for _ in range(2):
+            t0 = time.perf_counter()
+            r = g(x, payload, idx)
+            np.asarray(jnp.ravel(r)[-1:])
+            best = min(best, (time.perf_counter() - t0) / reps)
+        return best * 1e3
 
     for name, f in (("pairs_stable_2op", stable2),
                     ("pairs_unstable_3op", unstable3),
                     ("rank_unstable_2op", unstable2_rank)):
-        ms = steady_ms(f, x, reps=5)
+        ms = steady_aux(f)
         print(json.dumps({"exp": name, "n": n, "ms": round(ms, 2),
                           "Mkeys": round(n / ms / 1e3, 0)}), flush=True)
 
 
 def main():
+    import argparse
+
     import jax
     from radix_sorting_tpu.utils import keyfile
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", choices=["kappa", "gather", "msd", "pairs"],
+                    help="run a single experiment (re-runs after a crash)")
+    args = ap.parse_args()
 
     print(json.dumps({"device": str(jax.devices()[0])}), flush=True)
     keys = keyfile.generate_keys(40_000_000)
 
+    todo = {"kappa": exp_kappa_curve, "gather": exp_monotone_gather,
+            "msd": exp_msd, "pairs": exp_pairs}
+    if args.only:
+        todo[args.only](keys)
+        return
     exp_kappa_curve(keys)
     exp_monotone_gather(keys)
     exp_msd(keys)

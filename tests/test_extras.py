@@ -369,6 +369,45 @@ def test_searchsorted_bad_method(rng):
         searchsorted(a, a, method="bisect")
 
 
+@pytest.mark.parametrize("side", ["left", "right"])
+def test_searchsorted_sorter(rng, side):
+    # numpy's sorter= (unsorted keys + a sorting permutation); the TPU
+    # route replaces the a[sorter] gather with one sort — element-wise
+    # identical because any sorting permutation of a yields sort(a)
+    from radix_sorting_tpu.extras import searchsorted
+    a = rng.integers(0, 300, size=3_000, dtype=np.uint32)
+    v = rng.integers(0, 300, size=900, dtype=np.uint32)
+    sorter = np.argsort(a, kind="stable")
+    got = np.asarray(searchsorted(jnp.asarray(a), jnp.asarray(v),
+                                  side=side, sorter=jnp.asarray(sorter)))
+    assert np.array_equal(got, np.searchsorted(a, v, side=side,
+                                               sorter=sorter))
+
+
+def test_searchsorted_sorter_u64_and_floats(rng):
+    from radix_sorting_tpu.extras import searchsorted
+    a64 = rng.integers(0, 1 << 63, size=2_000).astype(np.uint64)
+    v64 = rng.integers(0, 1 << 63, size=500).astype(np.uint64)
+    s64 = np.argsort(a64, kind="stable")
+    got = np.asarray(searchsorted(a64, v64, sorter=s64))
+    assert np.array_equal(got, np.searchsorted(a64, v64, sorter=s64))
+    af = rng.normal(size=1_000).astype(np.float32)
+    vf = rng.normal(size=300).astype(np.float32)
+    sf = np.argsort(af, kind="stable")
+    got = np.asarray(searchsorted(af, vf, side="right", sorter=sf))
+    assert np.array_equal(got, np.searchsorted(af, vf, side="right",
+                                               sorter=sf))
+
+
+def test_searchsorted_sorter_validation(rng):
+    from radix_sorting_tpu.extras import searchsorted
+    a = jnp.asarray(np.arange(8, dtype=np.uint32))
+    with pytest.raises(TypeError):
+        searchsorted(a, a, sorter=jnp.zeros((8,), jnp.float32))
+    with pytest.raises(ValueError):
+        searchsorted(a, a, sorter=jnp.zeros((4,), jnp.int32))
+
+
 @skip_subbyte_on_axon
 @pytest.mark.parametrize("dtype", ["int4", "uint4"])
 def test_unique_sorted_sub_byte(rng, dtype):

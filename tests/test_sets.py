@@ -130,6 +130,59 @@ def test_setops_u32(op, ref, rng):
     assert np.all(np.asarray(vals)[len(want):] == np.uint32(0xFFFFFFFF))
 
 
+def test_intersect1d_return_indices(rng):
+    # duplicates on both sides: indices must be FIRST occurrences (numpy)
+    a = rng.integers(0, 200, size=3_000, dtype=np.uint32)
+    b = rng.integers(100, 300, size=2_000, dtype=np.uint32)
+    vals, comm1, comm2, cnt = intersect1d(
+        jnp.asarray(a), jnp.asarray(b), return_indices=True)
+    want_v, want_1, want_2 = np.intersect1d(a, b, return_indices=True)
+    k = len(want_v)
+    assert int(cnt) == k
+    assert np.array_equal(np.asarray(vals)[:k], want_v)
+    assert np.array_equal(np.asarray(comm1)[:k], want_1)
+    assert np.array_equal(np.asarray(comm2)[:k], want_2)
+    assert np.all(np.asarray(comm1)[k:] == len(a))
+    assert np.all(np.asarray(comm2)[k:] == len(b))
+    # the indices actually index the common values (numpy's contract)
+    assert np.array_equal(a[want_1], want_v) and np.array_equal(
+        b[np.asarray(comm2)[:k]], want_v)
+
+
+def test_intersect1d_return_indices_i64_jit_empty(rng):
+    a = rng.integers(-(1 << 62), 1 << 62, size=1_000).astype(np.int64)
+    b = np.concatenate([rng.permutation(a)[:200],
+                        rng.integers(-(1 << 62), 1 << 62,
+                                     size=300).astype(np.int64)])
+    # i64 stays NUMPY in/out (two u32 word planes, no x64 — jnp.asarray
+    # would silently truncate to int32); jit coverage below uses u32
+    vals, c1, c2, cnt = intersect1d(a, b, return_indices=True, size=256)
+    want_v, want_1, want_2 = np.intersect1d(a, b, return_indices=True)
+    k = len(want_v)
+    assert int(cnt) == k and k <= 256
+    assert np.array_equal(np.asarray(vals)[:k], want_v)
+    assert np.array_equal(np.asarray(c1)[:k], want_1)
+    assert np.array_equal(np.asarray(c2)[:k], want_2)
+    au = rng.integers(0, 1 << 20, size=800, dtype=np.uint32)
+    bu = rng.integers(0, 1 << 20, size=600, dtype=np.uint32)
+    f = jax.jit(lambda x, y: intersect1d(x, y, return_indices=True,
+                                         size=128))
+    valsu, c1u, c2u, cntu = f(jnp.asarray(au), jnp.asarray(bu))
+    wv, w1, w2 = np.intersect1d(au, bu, return_indices=True)
+    ku = len(wv)
+    assert int(cntu) == ku and np.array_equal(np.asarray(valsu)[:ku], wv)
+    assert np.array_equal(np.asarray(c1u)[:ku], w1)
+    assert np.array_equal(np.asarray(c2u)[:ku], w2)
+    # empty side: exact zero count, index pads = len(a)/len(b)
+    e = np.zeros((0,), np.int64)
+    vals, c1, c2, cnt = intersect1d(a, e, size=4, return_indices=True)
+    assert int(cnt) == 0 and np.all(np.asarray(c2) == 0)
+    assert np.all(np.asarray(c1) == len(a))
+    # assume_unique accepted (and unlike numpy, duplicate-safe)
+    vals2, cnt2 = intersect1d(a, b, assume_unique=True)
+    assert np.array_equal(np.asarray(vals2)[:int(cnt2)], want_v)
+
+
 @pytest.mark.parametrize("op,ref", _OPS, ids=[o.__name__ for o, _ in _OPS])
 def test_setops_floats(op, ref, rng):
     # shifted positive: np.round can emit -0.0, which numpy's set ops
