@@ -93,8 +93,50 @@ class UniqueResult(NamedTuple):
     num_unique: jax.Array
 
 
+def _unique_core(words, n: int, size: int, decode_rep,
+                 return_index: bool, return_inverse: bool,
+                 return_counts: bool, index_dtype) -> UniqueResult:
+    """Shared run-boundary pipeline over an arbitrary composite-key tuple.
+
+    ``words`` is the ordered word-plane tuple (highest priority first);
+    ``decode_rep`` maps a same-length tuple of representative planes (one
+    entry per run, padding slots all-ones) to the caller's value space —
+    a dtype decode for 1-D keys, a per-column decode + stack for rows.
+    """
+    if return_index or return_inverse:
+        from .api import _check_index_width
+        _check_index_width(n, index_dtype)
+        sw, perm = hw_engine.argsort_words(words, index_dtype=index_dtype)
+    else:
+        sw, _ = hw_engine.sort_words(words, (), stable=False)
+        perm = None
+
+    is_new = jnp.concatenate([jnp.ones((1,), jnp.bool_), _neq_prev(sw)])
+    num_unique = jnp.sum(is_new, dtype=jnp.int32)
+    starts, = jnp.nonzero(is_new, size=size, fill_value=n)
+    live = jnp.arange(size) < num_unique
+    at = jnp.clip(starts, 0, n - 1)
+    values = decode_rep(tuple(jnp.where(live, w[at], _ONES) for w in sw))
+
+    index = inverse = counts = None
+    if return_index:
+        index = jnp.where(live, perm[at], jnp.zeros((), index_dtype))
+    if return_inverse:
+        run_id = (jnp.cumsum(is_new.astype(jnp.int32)) - 1).astype(jnp.uint32)
+        _, (inv,) = hw_engine.sort_words(
+            (perm.astype(jnp.uint32),), (run_id,), stable=True)
+        inverse = inv.astype(jnp.int32)
+    if return_counts:
+        bounded = jnp.concatenate(
+            [starts, jnp.full((1,), n, starts.dtype)])
+        counts = jnp.where(live, (bounded[1:] - bounded[:-1]), 0) \
+                    .astype(jnp.int32)
+    return UniqueResult(values, index, inverse, counts, num_unique)
+
+
 def unique(x, *, return_index: bool = False, return_inverse: bool = False,
            return_counts: bool = False, size: Optional[int] = None,
+           axis: Optional[int] = None,
            config: SortConfig = DEFAULT_CONFIG,
            index_dtype=jnp.uint32) -> UniqueResult:
     """``np.unique`` with the full flag surface, fixed-shape and jittable.
@@ -117,9 +159,23 @@ def unique(x, *, return_index: bool = False, return_inverse: bool = False,
     runs and, like :func:`..extras.value_counts`, folds the dropped runs'
     mass into the last kept count. ``inverse`` and ``num_unique`` are exact
     regardless of ``size``.
+
+    ``axis=0`` (``np.unique(a, axis=0)``): unique ROWS of a 2-D array,
+    lexicographically sorted (leftmost column most significant), with the
+    full flag surface; ``axis=1`` dedups columns (computed on the
+    transpose). TPU design: each column encodes to its KDF word planes and
+    the row is ONE composite key of the concatenated planes — a single
+    fused multi-operand sort, no void-dtype views or per-row hashing.
+    Equality is bitwise under the KDF order like 1-D :func:`unique`
+    (numpy's axis path instead collapses ``-0.0 == 0.0`` while keeping
+    bit-identical NaN rows distinct — a void-view artifact).
     """
+    if axis is not None:
+        return _unique_rows(x, axis, return_index, return_inverse,
+                            return_counts, size, config, index_dtype)
     if np.ndim(x) != 1:
-        raise ValueError(f"keys must be 1-D, got shape {jnp.shape(x)}")
+        raise ValueError(f"keys must be 1-D, got shape {jnp.shape(x)} "
+                         f"(pass axis=0 for row-wise unique)")
     n = int(jnp.shape(x)[0])
     if size is None:
         size = n
@@ -149,36 +205,66 @@ def unique(x, *, return_index: bool = False, return_inverse: bool = False,
                             lens if return_counts else None, k)
 
     words, dtype = _as_words(x, config.descending)
-    if return_index or return_inverse:
-        from .api import _check_index_width
-        _check_index_width(n, index_dtype)
-        sw, perm = hw_engine.argsort_words(words, index_dtype=index_dtype)
-    else:
-        sw, _ = hw_engine.sort_words(words, (), stable=False)
-        perm = None
+    return _unique_core(
+        words, n, size,
+        lambda reps: _decode(reps, dtype, config.descending),
+        return_index, return_inverse, return_counts, index_dtype)
 
-    is_new = jnp.concatenate([jnp.ones((1,), jnp.bool_), _neq_prev(sw)])
-    num_unique = jnp.sum(is_new, dtype=jnp.int32)
-    starts, = jnp.nonzero(is_new, size=size, fill_value=n)
-    live = jnp.arange(size) < num_unique
-    at = jnp.clip(starts, 0, n - 1)
-    values = _decode(tuple(jnp.where(live, w[at], _ONES) for w in sw),
-                     dtype, config.descending)
 
-    index = inverse = counts = None
-    if return_index:
-        index = jnp.where(live, perm[at], jnp.zeros((), index_dtype))
-    if return_inverse:
-        run_id = (jnp.cumsum(is_new.astype(jnp.int32)) - 1).astype(jnp.uint32)
-        _, (inv,) = hw_engine.sort_words(
-            (perm.astype(jnp.uint32),), (run_id,), stable=True)
-        inverse = inv.astype(jnp.int32)
-    if return_counts:
-        bounded = jnp.concatenate(
-            [starts, jnp.full((1,), n, starts.dtype)])
-        counts = jnp.where(live, (bounded[1:] - bounded[:-1]), 0) \
-                    .astype(jnp.int32)
-    return UniqueResult(values, index, inverse, counts, num_unique)
+def _unique_rows(x, axis: int, return_index: bool, return_inverse: bool,
+                 return_counts: bool, size: Optional[int],
+                 config: SortConfig, index_dtype) -> UniqueResult:
+    """Row-wise :func:`unique` (``axis=0``/``1``) — see its docstring."""
+    if axis not in (0, 1):
+        raise ValueError(f"axis must be None, 0 or 1, got {axis}")
+    if np.ndim(x) != 2:
+        raise ValueError(
+            f"axis={axis} needs a 2-D array, got shape {jnp.shape(x)}")
+    if axis == 1:
+        xt = x.T if isinstance(x, np.ndarray) else jnp.asarray(x).T
+        r = _unique_rows(xt, 0, return_index, return_inverse,
+                         return_counts, size, config, index_dtype)
+        return UniqueResult(r.values.T, r.index, r.inverse, r.counts,
+                            r.num_unique)
+
+    n, k = (int(s) for s in jnp.shape(x))
+    if size is None:
+        size = n
+
+    def stack(cols1d):
+        if cols1d and isinstance(cols1d[0], np.ndarray):
+            return np.stack(cols1d, axis=1)
+        return jnp.stack(cols1d, axis=1) if cols1d else \
+            jnp.zeros((size, 0), jnp.dtype(_dtype_of(x)))
+
+    if n == 0 or k == 0:
+        # numpy: zero columns makes every row equal (one unique when n>0)
+        num = jnp.int32(0 if n == 0 else min(1, size))
+        vals = stack([_max_pad(x[:0].reshape(0) if k == 0 else x[:, j],
+                               size, config) for j in range(k)])
+        z32 = jnp.zeros((size,), jnp.int32)
+        cnt = (z32.at[0].set(jnp.int32(n)) if (k == 0 and n and size)
+               else z32)
+        return UniqueResult(
+            vals,
+            jnp.zeros((size,), index_dtype) if return_index else None,
+            jnp.zeros((n,), jnp.int32) if return_inverse else None,
+            cnt if return_counts else None, num)
+
+    cols = [_as_words(x[:, j] if isinstance(x, np.ndarray)
+                      else jnp.asarray(x)[:, j], config.descending)
+            for j in range(k)]
+    dtype = cols[0][1]
+    p = len(cols[0][0])  # planes per element (2 for 64-bit dtypes)
+    words = tuple(w for ws, _ in cols for w in ws)
+
+    def decode_rep(reps):
+        return stack([_decode(reps[j * p:(j + 1) * p], dtype,
+                              config.descending) for j in range(k)])
+
+    return _unique_core(words, n, size, decode_rep,
+                        return_index, return_inverse, return_counts,
+                        index_dtype)
 
 
 class UniqueValuesResult(NamedTuple):

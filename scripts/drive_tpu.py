@@ -185,6 +185,18 @@ def main() -> int:
           and np.array_equal(np.asarray(c1)[:k], w1)
           and np.array_equal(np.asarray(c2)[:k], w2))
 
+    # unique axis=0: rows as one composite multi-operand sort (round 4)
+    from radix_sorting_tpu.sets import unique as _uniq
+    rows = np.stack([(x[: n // 4] & np.uint32(0xFF)),
+                     (x[n // 4: n // 2] & np.uint32(0xF))], axis=1)
+    ur = _uniq(jnp.asarray(rows), axis=0, return_counts=True)
+    wv, wc = np.unique(rows, axis=0, return_counts=True)
+    uk = len(wv)
+    check("unique axis=0 (rows as composite sort keys)",
+          int(ur.num_unique) == uk
+          and np.array_equal(np.asarray(ur.values)[:uk], wv)
+          and np.array_equal(np.asarray(ur.counts)[:uk], wc))
+
     # bincount: dense histogram route (np.bincount via the MXU, not scatter).
     # 12-bit values against length=1000 (1024 padded bins) also verify the
     # kernel's drop_ge invalidation on chip: values >= 1024 would alias

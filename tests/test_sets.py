@@ -115,6 +115,67 @@ def test_unique_empty_and_jit(rng):
 
 # ---------------------------------------------------------------- set ops
 
+def test_unique_axis0_rows_full_flags(rng):
+    a = rng.integers(-50, 50, size=(2_000, 3), dtype=np.int32)
+    r = unique(jnp.asarray(a), axis=0, return_index=True,
+               return_inverse=True, return_counts=True)
+    wv, wi, winv, wc = np.unique(a, axis=0, return_index=True,
+                                 return_inverse=True, return_counts=True)
+    k = int(r.num_unique)
+    assert k == len(wv)
+    assert np.array_equal(np.asarray(r.values)[:k], wv)
+    assert np.array_equal(np.asarray(r.index)[:k], wi)
+    assert np.array_equal(np.asarray(r.inverse), winv)
+    assert np.array_equal(np.asarray(r.counts)[:k], wc)
+    # reconstruction through the inverse (numpy's axis contract)
+    assert np.array_equal(np.asarray(r.values)[np.asarray(r.inverse)], a)
+
+
+def test_unique_axis1_and_floats(rng):
+    a = rng.normal(size=(4, 500)).round(1).astype(np.float32)
+    a = np.where(a == 0.0, np.float32(0.25), a)  # keep off numpy's -0==0 corner
+    r = unique(jnp.asarray(a), axis=1)
+    want = np.unique(a, axis=1)
+    k = int(r.num_unique)
+    assert k == want.shape[1]
+    assert np.array_equal(np.asarray(r.values)[:, :k], want)
+
+
+def test_unique_axis0_u64_and_jit(rng):
+    u = rng.integers(0, 1 << 63, size=(800, 2)).astype(np.uint64)
+    u[: 200] = u[200:400]  # force duplicate rows
+    r = unique(u, axis=0, return_counts=True)
+    wv, wc = np.unique(u, axis=0, return_counts=True)
+    k = int(r.num_unique)
+    assert np.array_equal(np.asarray(r.values)[:k], wv)
+    assert np.array_equal(np.asarray(r.counts)[:k], wc)
+    au = rng.integers(0, 9, size=(300, 2), dtype=np.uint32)
+    f = jax.jit(lambda m: unique(m, axis=0, size=128, return_counts=True))
+    rj = f(jnp.asarray(au))
+    wv, wc = np.unique(au, axis=0, return_counts=True)
+    k = len(wv)
+    assert int(rj.num_unique) == k
+    assert np.array_equal(np.asarray(rj.values)[:k], wv)
+    assert np.array_equal(np.asarray(rj.counts)[:k], wc)
+
+
+def test_unique_axis_edges(rng):
+    # empty rows / zero columns / validation
+    r = unique(jnp.zeros((0, 3), jnp.int32), axis=0, return_inverse=True)
+    assert int(r.num_unique) == 0 and r.inverse.shape == (0,)
+    r = unique(jnp.zeros((5, 0), jnp.uint32), axis=0, return_counts=True)
+    assert int(r.num_unique) == 1  # numpy: all zero-width rows are equal
+    assert np.asarray(r.counts)[0] == 5
+    assert np.unique(np.zeros((5, 0), np.uint32), axis=0).shape[0] == 1
+    with pytest.raises(ValueError):
+        unique(jnp.zeros((4,), jnp.uint32), axis=0)
+    with pytest.raises(ValueError):
+        unique(jnp.zeros((4, 2), jnp.uint32), axis=2)
+    # 2-D without axis still raises (and now hints at axis=0)
+    with pytest.raises(ValueError):
+        unique(jnp.zeros((4, 2), jnp.uint32))
+
+
 _OPS = [(union1d, np.union1d), (intersect1d, np.intersect1d),
         (setdiff1d, np.setdiff1d), (setxor1d, np.setxor1d)]
 
