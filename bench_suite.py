@@ -265,8 +265,20 @@ def main() -> int:
         (s,) = lax.sort((w,), dimension=1, is_stable=False, num_keys=1)
         return kdf.decode((s,), jnp.uint32)
 
+    def group_dense_sum(a):
+        # round-4 dense group-by tier: keys/values derived from the chained
+        # operand inside the jit (keys dense in [0, 1024), i32 values);
+        # returns the per-group sums so the chain consumes real output
+        from radix_sorting_tpu.extras import group_reduce
+        k = a & np.uint32(1023)
+        v = (a >> np.uint32(10)).astype(jnp.int32)
+        _, red, _ = group_reduce(k, v, reduce="sum", groups=1024, size=1024)
+        return red.astype(jnp.uint32)
+
     cases = {
         "radix_sort": (value_sort, lambda n: jnp.asarray(keys[:n])),
+        "group_reduce_dense_1024": (
+            group_dense_sum, lambda n: jnp.asarray(keys[:n])),
         "radix_sort_rank": (rank_sort, lambda n: jnp.asarray(keys[:n])),
         "radix_sort_pairs": (pairs_sort, lambda n: jnp.asarray(keys[:n])),
         "pairs_masked_u64_compacted": (
