@@ -412,14 +412,17 @@ def searchsorted(sorted_keys, queries, *, side: str = "left",
     if side not in ("left", "right"):
         raise ValueError(f"side must be 'left' or 'right', got {side!r}")
     if sorter is not None:
-        sarr = jnp.asarray(sorter)
-        if not jnp.issubdtype(sarr.dtype, jnp.integer):
+        sdt = sorter.dtype if hasattr(sorter, "dtype") else \
+            np.asarray(sorter).dtype
+        if not jnp.issubdtype(sdt, jnp.integer):
             raise TypeError(
-                f"sorter must be an integer permutation, got {sarr.dtype}")
-        if sarr.shape != jnp.shape(jnp.asarray(sorted_keys)):
+                f"sorter must be an integer permutation, got {sdt}")
+        # shape-only checks: no device transfer (sorted_keys may be a large
+        # host numpy u64 array that must not round-trip through jnp)
+        if tuple(jnp.shape(sorter)) != tuple(jnp.shape(sorted_keys)):
             raise ValueError(
-                f"sorter.shape {sarr.shape} must equal sorted_keys.shape "
-                f"{jnp.shape(jnp.asarray(sorted_keys))}")
+                f"sorter.shape {tuple(jnp.shape(sorter))} must equal "
+                f"sorted_keys.shape {tuple(jnp.shape(sorted_keys))}")
         from .api import sort as _sort
         sorted_keys = _sort(sorted_keys, config=config)
     _METHODS = ("auto", "scan", "scan_unrolled", "compare_all", "sort")

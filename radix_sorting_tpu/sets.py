@@ -238,10 +238,10 @@ def _unique_rows(x, axis: int, return_index: bool, return_inverse: bool,
             jnp.zeros((size, 0), jnp.dtype(_dtype_of(x)))
 
     if n == 0 or k == 0:
-        # numpy: zero columns makes every row equal (one unique when n>0)
-        num = jnp.int32(0 if n == 0 else min(1, size))
-        vals = stack([_max_pad(x[:0].reshape(0) if k == 0 else x[:, j],
-                               size, config) for j in range(k)])
+        # numpy: zero columns makes every row equal (one unique when n>0).
+        # num_unique stays EXACT regardless of size (the 1-D contract).
+        num = jnp.int32(0 if n == 0 else 1)
+        vals = stack([_max_pad(x[:, j], size, config) for j in range(k)])
         z32 = jnp.zeros((size,), jnp.int32)
         cnt = (z32.at[0].set(jnp.int32(n)) if (k == 0 and n and size)
                else z32)

@@ -166,6 +166,9 @@ def test_unique_axis_edges(rng):
     r = unique(jnp.zeros((5, 0), jnp.uint32), axis=0, return_counts=True)
     assert int(r.num_unique) == 1  # numpy: all zero-width rows are equal
     assert np.asarray(r.counts)[0] == 5
+    # num_unique stays EXACT when size truncates everything (1-D contract)
+    r0 = unique(jnp.zeros((5, 0), jnp.uint32), axis=0, size=0)
+    assert int(r0.num_unique) == 1 and r0.values.shape == (0, 0)
     assert np.unique(np.zeros((5, 0), np.uint32), axis=0).shape[0] == 1
     with pytest.raises(ValueError):
         unique(jnp.zeros((4,), jnp.uint32), axis=0)
