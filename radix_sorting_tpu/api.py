@@ -69,19 +69,22 @@ def _as_words(x, descending: bool, allow_nd: bool = False) -> Tuple[Tuple[jax.Ar
         if x.ndim != 1 and not allow_nd:
             raise ValueError(f"keys must be 1-D, got shape {x.shape}")
         return kdf.encode64_np(x, descending), np.dtype(x.dtype)
-    xa = jnp.asarray(x)
-    if xa.ndim != 1 and not allow_nd:
-        raise ValueError(f"keys must be 1-D, got shape {xa.shape}")
-    if (kdf.key_bits(xa.dtype) == 4 and isinstance(xa, jax.Array)
-            and not isinstance(xa, jax.core.Tracer)):
-        # a CONCRETE sub-byte device array is about to become a jit
-        # argument — unusable on the axon runtime (instant RecursionError
-        # deep in device_put; see utils/backend_quirks.py). Fail typed and
-        # actionable instead. Tracers (sub-byte values inside a caller's
-        # jit) are fine and unaffected.
+    dt = getattr(x, "dtype", None)
+    if (dt is not None and not isinstance(x, jax.core.Tracer)
+            and jnp.dtype(dt) in (jnp.dtype(jnp.int4), jnp.dtype(jnp.uint4))):
+        # a CONCRETE sub-byte array is about to cross the dispatch boundary
+        # — unusable on the axon runtime (instant RecursionError deep in
+        # device_put; see utils/backend_quirks.py). Checked BEFORE
+        # jnp.asarray: a host numpy int4 array would crash inside the
+        # device_put itself, never reaching a post-conversion guard. Fail
+        # typed and actionable instead. Tracers (sub-byte values inside a
+        # caller's jit) are fine and unaffected.
         from .utils.backend_quirks import SUBBYTE_AXON_ERROR, is_axon_runtime
         if is_axon_runtime():
             raise TypeError(SUBBYTE_AXON_ERROR)
+    xa = jnp.asarray(x)
+    if xa.ndim != 1 and not allow_nd:
+        raise ValueError(f"keys must be 1-D, got shape {xa.shape}")
     return kdf.encode(xa, descending=descending), xa.dtype
 
 

@@ -48,3 +48,22 @@ def test_no_site_dir_means_not_axon():
 def test_error_message_actionable():
     msg = backend_quirks.SUBBYTE_AXON_ERROR
     assert "int4" in msg and "int8" in msg  # names the fix, not just the bug
+
+
+def test_numpy_int4_guard_fires_before_device_put():
+    # a HOST numpy int4 array must raise the typed error BEFORE
+    # jnp.asarray: the device_put itself is what crashes on axon, so a
+    # post-conversion guard would never be reached
+    import ml_dtypes
+    import numpy as np
+    import pytest
+
+    import radix_sorting_tpu as rst
+
+    x = np.arange(16, dtype=np.int8).astype(ml_dtypes.int4)
+    env = dict(os.environ, JAX_PLATFORMS="axon")
+    path = list(sys.path) + ["/root/.axon_site"]
+    with mock.patch.dict(os.environ, env, clear=True), \
+            mock.patch.object(sys, "path", path):
+        with pytest.raises(TypeError, match="axon"):
+            rst.sort(x)
