@@ -679,6 +679,66 @@ def _dense_value_bytes(vdtype) -> int:
     return 1 if bits <= 8 else (2 if bits <= 16 else 4)
 
 
+def _dense_f32_ok(arr) -> bool:
+    """True when ``arr`` can ride the FLOAT dense group-by tier: a
+    jax-compatible float of <= 32 bits (f32/bf16/f16/float8 — all exact
+    under one cast to f32). 64-bit floats keep the sort-native route (their
+    sums need f64 accumulation the 32-bit device path cannot provide)."""
+    if isinstance(arr, np.ndarray) and (arr.dtype.kind == "S"
+                                        or arr.dtype.itemsize == 8):
+        return False
+    d = jnp.asarray(arr).dtype if not hasattr(arr, "dtype") else arr.dtype
+    d = jnp.dtype(d)
+    return kdf.kind(d) == "f" and kdf.key_bits(d) <= 32
+
+
+def _group_reduce_dense_f32(keys, values, *, reduce: str, groups: int,
+                            size: int, config: SortConfig):
+    """Float dense group-by tier: sum/mean of <= 32-bit float values over
+    keys promised in [0, groups) — ONE fused count+weighted histogram on the
+    MXU (:func:`..ops.pallas_kernels.weighted_histogram_f32_counts_tpu`),
+    no sort at all.
+
+    Accuracy (vs a float64 oracle): each value enters as a bf16x2 split
+    (relative representation error <= ~2^-16 per element) and per-bin totals
+    are DIRECT f32 sums of f32 matmul partials — error grows with the
+    group's own magnitude, O(group_size * eps_f32 * max|v|). The sort-native
+    fallback computes group sums as differences of a whole-array f32 prefix
+    sum, whose rounding scales with the PREFIX magnitude (can be orders of
+    magnitude larger than any group) — the dense tier's bound is the tighter
+    one for everything but tiny prefixes. Non-finite values poison more than
+    their own group (0 * inf = NaN inside the matmul); the sort-native
+    route's running cumsum degrades globally the same way.
+
+    Keys outside [0, groups) are DROPPED (bincount promise semantics),
+    matching the integer dense tier.
+    """
+    from .ops.pallas_kernels import (use_tpu_routes,
+                                     weighted_histogram_f32_counts_tpu)
+
+    ka = jnp.asarray(keys)
+    kdtype = ka.dtype
+    G = int(groups)
+    w = ka.astype(jnp.uint32)
+    vf = jnp.asarray(values).astype(jnp.float32)
+
+    if use_tpu_routes():
+        bins = 1 << max(2, (G - 1).bit_length())  # kernel needs >= 4 bins
+        counts, tot = weighted_histogram_f32_counts_tpu(
+            w, vf, bins.bit_length() - 1, G)
+        counts, tot = counts[:G], tot[:G]
+    else:
+        # scatter-add is cheap off-TPU; out-of-range keys clamp into a
+        # dropped overflow bucket
+        ki = jnp.where(w < jnp.uint32(G), w, jnp.uint32(G)).astype(jnp.int32)
+        counts = jax.ops.segment_sum(jnp.ones_like(ki), ki,
+                                     num_segments=G + 1)[:G]
+        tot = jax.ops.segment_sum(vf, ki, num_segments=G + 1)[:G]
+
+    return _dense_emit(counts, tot, reduce, G, size, kdtype,
+                       config.descending)
+
+
 def _group_reduce_dense(keys, values, *, reduce: str, groups: int, size: int,
                         config: SortConfig):
     """Dense group-by tier: keys promised in [0, groups) — sum/mean become a
@@ -803,8 +863,14 @@ def group_reduce(keys, values, *, reduce: str = "sum",
     measured ~28x the sort-native route at 2^10 groups / 40M rows, ~7x after
     the exact byte-plane recipe). Applies when ``(value_bytes + 1) * G <=
     2^17`` (past that the per-element MXU MACs exceed the sorter's cost —
-    ROADMAP wide-tier crossover); wider promises, float/64-bit values and
-    ``min``/``max`` keep the sort-native route. With ``groups`` given,
+    ROADMAP wide-tier crossover). Float values of <= 32 bits take the same
+    tier through the fused bf16x2 count+sum kernel
+    (:func:`~radix_sorting_tpu.ops.pallas_kernels.weighted_histogram_f32_counts_tpu`,
+    3 effective planes, so ``3 * G <= 2^17``) with a TIGHTER f32 error bound
+    than the fallback's whole-array prefix-sum differences — see
+    `_group_reduce_dense_f32` for the bound and the non-finite caveat.
+    Wider promises, 64-bit values and ``min``/``max`` keep the sort-native
+    route. With ``groups`` given,
     ``size`` defaults to ``min(n, groups)`` (route-independent shapes).
     ``groups`` is a PROMISE like ``value_mask``: violations give
     route-dependent results (the dense tier drops out-of-range keys, the
@@ -849,12 +915,20 @@ def group_reduce(keys, values, *, reduce: str = "sum",
     n = int(kw[0].shape[0])
     if size is None:
         size = min(n, groups) if groups is not None else n
-    if (groups is not None and n > 0 and reduce in ("sum", "mean")
-            and _dense_ok(values)
-            and (_dense_value_bytes(jnp.asarray(values).dtype) + 1)
-            * (1 << max(2, (groups - 1).bit_length())) <= (1 << 17)):
-        return _group_reduce_dense(keys, values, reduce=reduce,
-                                   groups=groups, size=size, config=config)
+    if groups is not None and n > 0 and reduce in ("sum", "mean"):
+        bins = 1 << max(2, (groups - 1).bit_length())
+        if (_dense_ok(values)
+                and (_dense_value_bytes(jnp.asarray(values).dtype) + 1)
+                * bins <= (1 << 17)):
+            return _group_reduce_dense(keys, values, reduce=reduce,
+                                       groups=groups, size=size,
+                                       config=config)
+        # float values: 2 bf16x2 matmul planes + 1 count plane = 3
+        # effective planes against the same MXU-MACs-per-element crossover
+        if _dense_f32_ok(values) and 3 * bins <= (1 << 17):
+            return _group_reduce_dense_f32(keys, values, reduce=reduce,
+                                           groups=groups, size=size,
+                                           config=config)
     host64 = (isinstance(vdtype, np.dtype) and vdtype.itemsize == 8
               and not jax.config.jax_enable_x64)
     if n == 0:

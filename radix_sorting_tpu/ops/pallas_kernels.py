@@ -44,6 +44,7 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["use_tpu_routes",
            "histogram_tpu", "multi_digit_histogram_tpu",
            "weighted_histogram_tpu", "weighted_histogram_f32_tpu",
+           "weighted_histogram_f32_counts_tpu",
            "regenerate_tpu",
            "regenerate_windowed_tpu", "regen_windows_fit", "pick_window",
            "regenerate_pdep_windowed_tpu", "regenerate_pdep2_windowed_tpu",
@@ -953,11 +954,15 @@ def weighted_histogram_tpu(keys: jax.Array, values: jax.Array,
     return _whist_call(kp, vp, radix_bits, n, value_bytes, drop_ge)
 
 
-def _whist_f32_kernel(x_ref, v_ref, o_ref, *, radix_bits, valid_n, sub,
-                      block_subs, drop_ge):
+def _whist_f32_kernel(*refs, radix_bits, valid_n, sub,
+                      block_subs, drop_ge, with_counts):
     """f32-weighted histogram: x_ref (block_subs, sub) u32 keys, v_ref
     (block_subs, sub) f32 weights, o_ref (H, 2L) f32 — [hi-split, lo-split]
-    bf16x2 partial sums (recombine: hi + lo)."""
+    bf16x2 partial sums (recombine: hi + lo). With ``with_counts`` a second
+    (H, L) int32 output accumulates the unweighted histogram in the SAME
+    key read (the group-size plane of the f32 dense group-by tier)."""
+    x_ref, v_ref, o_ref = refs[0], refs[1], refs[2]
+    c_ref = refs[3] if with_counts else None
     hi_bits, lo_bits = _split_bits(radix_bits)
     H, L = 1 << hi_bits, 1 << lo_bits
     himask = np.uint32(H - 1)
@@ -967,6 +972,8 @@ def _whist_f32_kernel(x_ref, v_ref, o_ref, *, radix_bits, valid_n, sub,
     @pl.when(step == 0)
     def _init():
         o_ref[...] = jnp.zeros_like(o_ref)
+        if with_counts:
+            c_ref[...] = jnp.zeros_like(c_ref)
 
     hiv = lax.broadcasted_iota(jnp.uint32, (H, 1), 0)
     lov = lax.broadcasted_iota(jnp.uint32, (L, 1), 0)
@@ -983,6 +990,11 @@ def _whist_f32_kernel(x_ref, v_ref, o_ref, *, radix_bits, valid_n, sub,
         d_hi = jnp.where(in_range, d_hi, np.uint32(H))
         hi_oh = (hiv == d_hi).astype(jnp.bfloat16)       # (H, sub)
         lo_oh = (lov == d_lo).astype(jnp.bfloat16)       # (L, sub)
+        if with_counts:
+            counts = jax.lax.dot_general(
+                hi_oh, lo_oh, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            c_ref[...] += counts.astype(jnp.int32)
         # bf16x2 split: w == whi + wlo to ~16 mantissa bits; each half rides
         # one bf16 matmul with exact f32 accumulation (one-hot * w is exact)
         whi = w.astype(jnp.bfloat16)
@@ -999,8 +1011,9 @@ def _whist_f32_kernel(x_ref, v_ref, o_ref, *, radix_bits, valid_n, sub,
 
 
 @functools.partial(jax.jit, static_argnames=("radix_bits", "valid_n",
-                                             "drop_ge"))
-def _whist_f32_call(x_padded, v_padded, radix_bits, valid_n, drop_ge):
+                                             "drop_ge", "with_counts"))
+def _whist_f32_call(x_padded, v_padded, radix_bits, valid_n, drop_ge,
+                    with_counts=False):
     sub, block_subs = _hist_layout(radix_bits)
     n = x_padded.shape[0]
     block_elems = block_subs * sub
@@ -1010,19 +1023,30 @@ def _whist_f32_call(x_padded, v_padded, radix_bits, valid_n, drop_ge):
     H, L = 1 << hi_bits, 1 << lo_bits
     kernel = functools.partial(
         _whist_f32_kernel, radix_bits=radix_bits, valid_n=valid_n,
-        drop_ge=drop_ge, sub=sub, block_subs=block_subs)
+        drop_ge=drop_ge, sub=sub, block_subs=block_subs,
+        with_counts=with_counts)
     kspec = pl.BlockSpec((block_subs, sub), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
+    accspec = pl.BlockSpec((H, 2 * L), lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)
+    out_specs = accspec
+    out_shape = jax.ShapeDtypeStruct((H, 2 * L), jnp.float32)
+    if with_counts:
+        out_specs = (accspec, pl.BlockSpec((H, L), lambda i: (0, 0),
+                                           memory_space=pltpu.VMEM))
+        out_shape = (out_shape, jax.ShapeDtypeStruct((H, L), jnp.int32))
     out = pl.pallas_call(
         kernel,
         grid=(steps,),
         in_specs=[kspec, kspec],
-        out_specs=pl.BlockSpec((H, 2 * L), lambda i: (0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((H, 2 * L), jnp.float32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=_want_interpret(),
     )(x_padded.reshape(steps * block_subs, sub),
       v_padded.reshape(steps * block_subs, sub))
+    if with_counts:
+        sums, counts = out
+        return counts.reshape(H * L), (sums[:, :L] + sums[:, L:]).reshape(H * L)
     return (out[:, :L] + out[:, L:]).reshape(H * L)
 
 
@@ -1045,3 +1069,22 @@ def weighted_histogram_f32_tpu(keys: jax.Array, weights: jax.Array,
     if pad:
         vp = jnp.concatenate([vp, jnp.zeros((pad,), jnp.float32)])
     return _whist_f32_call(kp, vp, radix_bits, n, drop_ge)
+
+
+def weighted_histogram_f32_counts_tpu(keys: jax.Array, weights: jax.Array,
+                                      radix_bits: int, drop_ge: int):
+    """((2^radix_bits,) int32 counts, (2^radix_bits,) float32 sums).
+
+    The fused count+sum form of :func:`weighted_histogram_f32_tpu` — the
+    float dense group-by tier needs the group sizes (present mask, mean
+    denominator) and the bf16x2 f32 sums from ONE read of both streams.
+    Counts accumulate exactly in int32 (the same matmul as
+    `weighted_histogram_tpu`'s plane 0); the sum plane carries the bf16x2
+    error bound documented on the single-output form.
+    """
+    kp, n = _pad_keys(keys)
+    vp = weights.astype(jnp.float32)
+    pad = kp.shape[0] - vp.shape[0]
+    if pad:
+        vp = jnp.concatenate([vp, jnp.zeros((pad,), jnp.float32)])
+    return _whist_f32_call(kp, vp, radix_bits, n, drop_ge, with_counts=True)

@@ -606,12 +606,16 @@ def _distributed_group_reduce_dense(keys, values, mesh: Mesh, axis_name: str,
 
     Same exactness recipe as the local dense tier (`extras._group_reduce_dense`):
     signed values ride a +2^(bits-1) bias corrected by ``count * bias``
-    after the psum; all arithmetic wraps mod 2^32 coherently.
+    after the psum; all arithmetic wraps mod 2^32 coherently. Float values
+    of <= 32 bits take the fused bf16x2 count+sum kernel instead
+    (`extras._group_reduce_dense_f32` documents the error bound); the psum
+    then accumulates f32 partials across shards.
     """
     from ..api import _decode
     from ..extras import _accum_dtype, _dense_value_bytes
     from ..ops import kdf
     from ..ops.pallas_kernels import (histogram_tpu, use_tpu_routes,
+                                      weighted_histogram_f32_counts_tpu,
                                       weighted_histogram_tpu)
 
     ka = jnp.asarray(keys)
@@ -622,15 +626,21 @@ def _distributed_group_reduce_dense(keys, values, mesh: Mesh, axis_name: str,
     bins = 1 << max(2, (G - 1).bit_length())
     rbits = bins.bit_length() - 1
     S = -(-G // D)  # static per-shard output rows
+    fmode = False
     if reduce == "count":
         va, B, bias, acc = None, 0, None, jnp.int32
     else:
         va = jnp.asarray(values)
-        vbits = kdf.key_bits(va.dtype)
-        B = _dense_value_bytes(va.dtype)
-        bias = (np.uint32((1 << (vbits - 1)) & 0xFFFFFFFF)
-                if kdf.kind(va.dtype) == "i" else None)
-        acc = _accum_dtype(va.dtype)
+        fmode = kdf.kind(va.dtype) == "f"
+        if fmode:
+            va = va.astype(jnp.float32)
+            B, bias, acc = 0, None, jnp.float32
+        else:
+            vbits = kdf.key_bits(va.dtype)
+            B = _dense_value_bytes(va.dtype)
+            bias = (np.uint32((1 << (vbits - 1)) & 0xFFFFFFFF)
+                    if kdf.kind(va.dtype) == "i" else None)
+            acc = _accum_dtype(va.dtype)
     pad = (-int(w.shape[0])) % D
     if pad:
         w = jnp.concatenate([w, jnp.full((pad,), bins, jnp.uint32)])  # dropped
@@ -650,6 +660,20 @@ def _distributed_group_reduce_dense(keys, values, mesh: Mesh, axis_name: str,
                                              num_segments=G + 1)[:G]
             counts = lax.psum(counts, axis_name)
             tot = None
+        elif fmode:
+            vl = args[1]  # f32
+            if use_tpu_routes():
+                counts, tot = weighted_histogram_f32_counts_tpu(
+                    wl, vl, rbits, G)
+                counts, tot = counts[:G], tot[:G]
+            else:
+                ki = jnp.where(wl < jnp.uint32(G), wl,
+                               jnp.uint32(G)).astype(jnp.int32)
+                counts = jax.ops.segment_sum(jnp.ones_like(ki), ki,
+                                             num_segments=G + 1)[:G]
+                tot = jax.ops.segment_sum(vl, ki, num_segments=G + 1)[:G]
+            counts = lax.psum(counts, axis_name)
+            tot = lax.psum(tot, axis_name)
         else:
             vl = args[1].astype(jnp.uint32)
             if bias is not None:
@@ -757,7 +781,8 @@ def distributed_group_reduce(keys, values, mesh: Mesh,
     raises instead (one max reduce + host sync).
     """
     from ..api import _as_words, _decode
-    from ..extras import _accum_dtype, _dense_ok, _dense_value_bytes
+    from ..extras import (_accum_dtype, _dense_f32_ok, _dense_ok,
+                          _dense_value_bytes)
 
     if reduce not in ("sum", "mean", "min", "max", "count"):
         raise ValueError(
@@ -775,11 +800,16 @@ def distributed_group_reduce(keys, values, mesh: Mesh,
             if hi >= groups:
                 raise ValueError(
                     f"group keys outside [0, {groups}): max raw bits 0x{hi:X}")
-        vb = (0 if reduce == "count"
-              else _dense_value_bytes(jnp.asarray(values).dtype)
-              if reduce in ("sum", "mean") and _dense_ok(values) else None)
-        if (vb is not None
-                and (vb + 1) * (1 << max(2, (groups - 1).bit_length()))
+        # effective planes: count histogram alone = 1; int values add their
+        # byte planes; f32 values ride 2 bf16x2 matmul planes + the count
+        planes = (1 if reduce == "count"
+                  else _dense_value_bytes(jnp.asarray(values).dtype) + 1
+                  if reduce in ("sum", "mean") and _dense_ok(values)
+                  else 3
+                  if reduce in ("sum", "mean") and _dense_f32_ok(values)
+                  else None)
+        if (planes is not None
+                and planes * (1 << max(2, (groups - 1).bit_length()))
                 <= (1 << 17)):
             return _distributed_group_reduce_dense(
                 keys, values, mesh, axis_name, reduce, groups)

@@ -553,6 +553,28 @@ def test_distributed_group_reduce_dense_tier(rng, mesh, reduce):
         assert np.array_equal(a, b)
 
 
+def test_distributed_group_reduce_dense_f32(rng, mesh):
+    # FLOAT dense tier (round 5): per-shard fused count+bf16x2-sum
+    # histograms + one f32 psum — no distributed sort
+    from radix_sorting_tpu.parallel import distributed_group_reduce
+    n, G = (1 << 13) + 55, 1 << 9
+    k = rng.integers(0, G, size=n, dtype=np.uint32)
+    v = (rng.standard_normal(n) * 10).astype(np.float32)
+    ref = np.zeros(G, np.float64)
+    np.add.at(ref, k, v.astype(np.float64))
+    cntv = np.bincount(k, minlength=G)
+    for reduce in ("sum", "mean"):
+        uk, red, cnt, ovf = distributed_group_reduce(
+            jnp.asarray(k), jnp.asarray(v), mesh, reduce=reduce, groups=G)
+        assert int(np.asarray(ovf).sum()) == 0
+        got_k = gather_sorted(uk, cnt)
+        got_r = gather_sorted(red, cnt)
+        assert np.array_equal(got_k, np.unique(k))
+        want = (ref[got_k] if reduce == "sum"
+                else ref[got_k] / np.maximum(cntv[got_k], 1))
+        assert np.allclose(got_r, want, rtol=1e-3, atol=1e-3)
+
+
 def test_distributed_group_reduce_dense_narrow_and_validate(rng, mesh):
     from radix_sorting_tpu.parallel import distributed_group_reduce
     n, G = 3_333, 37  # non-power-of-two G, n not divisible by D

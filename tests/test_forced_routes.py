@@ -299,6 +299,54 @@ def test_group_reduce_dense_signed_bias_pallas(rng):
     assert np.array_equal(np.asarray(rv)[: int(ng)], ref[ids].astype(np.int32))
 
 
+def test_group_reduce_dense_f32_pallas(rng):
+    # FLOAT dense tier: the fused count+bf16x2-sum kernel
+    # (weighted_histogram_f32_counts_tpu) vs a float64 oracle, within the
+    # documented error bound (bf16x2 split <= ~2^-16/element relative +
+    # f32 accumulation)
+    from radix_sorting_tpu.extras import group_reduce
+    n, G = 40_000, 1 << 10
+    k = rng.integers(0, G, size=n, dtype=np.uint32)
+    k[::500] = G + 3  # dropped by drop_ge, not aliased
+    v = (rng.standard_normal(n) * 100).astype(np.float32)
+    live = k < G
+    ref = np.zeros(G, np.float64)
+    np.add.at(ref, k[live], v[live].astype(np.float64))
+    absv = np.zeros(G, np.float64)
+    np.add.at(absv, k[live], np.abs(v[live]).astype(np.float64))
+    cnt = np.bincount(k[live], minlength=G)
+
+    uk, rv, ng = group_reduce(k, jnp.asarray(v), reduce="sum", groups=G)
+    assert rv.dtype == jnp.float32
+    m = int(ng)
+    assert m == int((cnt > 0).sum())
+    ids = np.asarray(uk)[:m]
+    got = np.asarray(rv)[:m].astype(np.float64)
+    bound = absv[ids] * 2**-14 + 1e-5
+    assert np.all(np.abs(got - ref[ids]) <= bound)
+    # ...and the direct per-bin sums beat the sort-native cumsum-difference
+    # route's worst case: both within their bounds vs the same f64 oracle
+    uk_s, rv_s, ng_s = group_reduce(k[live], v[live], reduce="sum", size=m)
+    assert int(ng_s) == m
+    assert np.array_equal(np.asarray(uk_s)[:m], ids)
+    assert np.all(np.abs(np.asarray(rv_s)[:m].astype(np.float64) - ref[ids])
+                  <= absv[ids] * 2**-10 + np.abs(ref).sum() * 2**-20 + 1e-5)
+
+    uk2, rm, ng2 = group_reduce(k, jnp.asarray(v), reduce="mean", groups=G)
+    want_mean = ref[ids] / np.maximum(cnt[ids], 1)
+    assert np.allclose(np.asarray(rm)[: int(ng2)], want_mean,
+                       rtol=1e-3, atol=1e-4)
+    # f16 values ride the same tier through one exact cast
+    vh = np.round(v[:n]).astype(np.float16)
+    uk3, rv3, ng3 = group_reduce(k, jnp.asarray(vh), reduce="sum", groups=G)
+    ref16 = np.zeros(G, np.float64)
+    np.add.at(ref16, k[live], vh[live].astype(np.float64))
+    absv16 = np.zeros(G, np.float64)
+    np.add.at(absv16, k[live], np.abs(vh[live]).astype(np.float64))
+    got3 = np.asarray(rv3)[: int(ng3)].astype(np.float64)
+    assert np.all(np.abs(got3 - ref16[ids]) <= absv16[ids] * 2**-14 + 1e-5)
+
+
 def test_histogram_weighted_mxu_route(rng):
     # f32-weighted histogram through the bf16x2 weighted MXU kernel
     from radix_sorting_tpu.stats import histogram

@@ -466,6 +466,40 @@ def test_group_reduce_dense_matches_sort_native(vdtype, reduce, rng):
         assert np.all(np.asarray(rv_d)[m:] == 0)
 
 
+@pytest.mark.parametrize("vdtype", [np.float32, np.float16])
+@pytest.mark.parametrize("reduce", ["sum", "mean"])
+def test_group_reduce_dense_f32(vdtype, reduce, rng):
+    # FLOAT values ride the dense tier (round 5): fused count+bf16x2-sum
+    # histogram, vs a float64 oracle within the documented bound
+    from radix_sorting_tpu.extras import group_reduce
+    n, G = 30_000, 1 << 9
+    k = rng.integers(0, G, size=n, dtype=np.uint32)
+    v = (rng.standard_normal(n) * 10).astype(vdtype)
+    uk_d, rv_d, ng_d = group_reduce(k, v, reduce=reduce, groups=G)
+    assert rv_d.dtype == jnp.float32
+    assert uk_d.shape == (min(n, G),)
+    m = int(ng_d)
+    ref = np.zeros(G, np.float64)
+    np.add.at(ref, k, v.astype(np.float64))
+    cnt = np.bincount(k, minlength=G)
+    assert m == int((cnt > 0).sum())
+    ids = np.asarray(uk_d)[:m]
+    want = ref[ids] if reduce == "sum" else ref[ids] / np.maximum(cnt[ids], 1)
+    assert np.allclose(np.asarray(rv_d)[:m], want, rtol=1e-3, atol=1e-3)
+    assert np.all(np.asarray(rv_d)[m:] == 0)
+    # past the 3-plane gate (3 * 2^16 > 2^17) the promise falls back to the
+    # sort-native route — same contract, still correct
+    uk_f, rv_f, ng_f = group_reduce(k, v, reduce=reduce, groups=1 << 16,
+                                    size=m)
+    assert int(ng_f) == m
+    assert np.array_equal(np.asarray(uk_f)[:m], ids)
+    assert np.allclose(np.asarray(rv_f)[:m], want, rtol=1e-3, atol=1e-3)
+    # f64 numpy values keep the host-exact sort-native route
+    uk_h, rv_h, ng_h = group_reduce(k, v.astype(np.float64), reduce=reduce,
+                                    groups=G)
+    assert np.allclose(np.asarray(rv_h)[:m], want, rtol=1e-9, atol=1e-9)
+
+
 def test_group_reduce_dense_mod32_wrap(rng):
     # integer sums are exact mod 2^32 — the 32-bit accumulation contract
     from radix_sorting_tpu.extras import group_reduce
