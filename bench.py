@@ -261,6 +261,33 @@ def main() -> int:
     dt_batched = steady_rate(batched_once, xb, 10)
     _mark(state, "batched measured")
 
+    # dense group-by tier (round 4): sum of i32 values over 2^10 dense keys
+    # — the MXU weighted-histogram route, no sort at all
+    from radix_sorting_tpu.extras import group_reduce
+
+    def group_once(c):
+        k = c & np.uint32(1023)
+        v = (c >> np.uint32(10)).astype(jnp.int32)
+        _, red, _ = group_reduce(k, v, reduce="sum", groups=1024, size=1024)
+        return c ^ (red[0].astype(jnp.uint32) & np.uint32(1)) ^ np.uint32(1)
+
+    dt_group = steady_rate(group_once, x, 8)
+    _mark(state, "group-by measured")
+
+    # Speed-of-light normalization (BASELINE north-star #2): one SAME-PROCESS
+    # stream-bandwidth probe, then each case reports its effective GB/s under
+    # an explicit minimum-traffic model and the fraction of delivered stream
+    # bandwidth it reaches — the bytes/s-next-to-every-row discipline of the
+    # reference's counters (`radix_bench.cpp:72-77`).
+    from radix_sorting_tpu.utils.timing import stream_gbps
+    bw = stream_gbps(x=x)
+    _mark(state, f"stream {bw:.1f} GB/s")
+
+    def sol(bytes_min, dt_):
+        eff = bytes_min / dt_ / 1e9
+        return {"eff_GBps": round(eff, 2),
+                "sol_fraction": round(eff / bw, 4)}
+
     mkeys = n / dt / 1e6
     rec = {
         "metric": "sort 40M u32 keys/s/chip",
@@ -272,6 +299,21 @@ def main() -> int:
         "masked_8bit_Mkeys": round(n / dt_masked / 1e6, 1),
         "u16_full_Mkeys": round(n / dt_u16 / 1e6, 1),
         "batched_rows_Mkeys": round(xb.size / dt_batched / 1e6, 1),
+        "group_dense_1024_Mrows": round(n / dt_group / 1e6, 1),
+        "stream_GBps": round(bw, 1),
+        # per-case minimum-traffic models: sorts/counting move one read + one
+        # write of the element stream (u16 elements are 2 B); the group-by
+        # reads keys+values (8 B/row) and writes only O(G)
+        "sol": {
+            "headline": dict(traffic="2*4n read+write key stream",
+                             **sol(8 * n, dt)),
+            "masked_8bit": dict(traffic="2*4n", **sol(8 * n, dt_masked)),
+            "u16_full": dict(traffic="2*2n", **sol(4 * n, dt_u16)),
+            "batched_rows": dict(traffic="2*4n",
+                                 **sol(8 * xb.size, dt_batched)),
+            "group_dense_1024": dict(traffic="8n keys+values read",
+                                     **sol(8 * n, dt_group)),
+        },
         "canary_4M_ms": round(canary_ms, 2),
         "canary_history_ms": state["canaries"],
         "stage_history": state["history"],

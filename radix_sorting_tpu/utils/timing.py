@@ -111,6 +111,41 @@ def steady_chain_ms(fn: Callable, x, reps: int = 8, repeats: int = 2,
     return best * 1e3
 
 
+def stream_gbps(n: int = 40_000_000, reps: int = 20, x=None) -> float:
+    """Same-process effective HBM stream bandwidth (GB/s), the denominator
+    of every speed-of-light fraction in the bench artifacts.
+
+    One u32 multiply-add chain = one read + one write stream of the whole
+    array per iteration (the `exp_sol_probe.probe_stream` methodology, kept
+    here so bench.py / bench_suite.py normalize against the SAME-PROCESS
+    number — the slice's delivered bandwidth drifts with tenancy, so a
+    cross-run constant would lie). Pass ``x`` to reuse an on-device u32
+    array (avoids a host upload through the tunnel).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    if x is None:
+        x = jnp.asarray(np.random.default_rng(1).integers(
+            0, 1 << 32, size=n, dtype=np.uint32))
+    else:
+        n = int(x.shape[0])
+
+    @jax.jit
+    def g(a):
+        return lax.fori_loop(
+            0, reps, lambda i, c: c * np.uint32(2654435761) + np.uint32(1), a)
+
+    np.asarray(g(x)[-1:])  # compile + warm
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        np.asarray(g(x)[-1:])
+        best = min(best, (time.perf_counter() - t0) / reps)
+    return 2 * 4 * n / best / 1e9
+
+
 def counters(n: int, ms: float, itemsize: int = 4) -> dict:
     """KeyRate / bytes-per-second counters (`radix_bench.cpp:72-77`)."""
     s = ms / 1e3
