@@ -157,12 +157,54 @@ def counters(n: int, ms: float, itemsize: int = 4) -> dict:
 
 
 @contextlib.contextmanager
-def trace(logdir: str = "/tmp/rst-trace"):
-    """Capture a device profile around a block (`jax.profiler` trace)."""
+def trace(logdir: str = "/tmp/rst-trace", perfetto: bool = True):
+    """Capture a device profile around a block (`jax.profiler` trace).
+
+    ``perfetto=True`` additionally writes ``perfetto_trace.json.gz`` — plain
+    gzipped Chrome-trace JSON that :func:`device_op_table` reduces to an
+    op-level ms table without any profiler plugin (works through the axon
+    tunnel; `scripts/profile_headline.py` is the artifact producer).
+    """
     import jax
 
-    jax.profiler.start_trace(logdir)
+    jax.profiler.start_trace(logdir, create_perfetto_trace=perfetto)
     try:
         yield logdir
     finally:
         jax.profiler.stop_trace()
+
+
+def device_op_table(logdir: str) -> list:
+    """Aggregate the newest perfetto trace under ``logdir`` into a per-op
+    duration table for the device's 'XLA Ops' thread.
+
+    Returns rows ``{"op", "total_us", "calls"}`` sorted by total time, the
+    TPU counterpart of the reference's archived perf-stat sections
+    (`bench.sh:14-17`).
+    """
+    import collections
+    import glob
+    import gzip
+    import json as _json
+
+    paths = sorted(glob.glob(
+        f"{logdir}/plugins/profile/*/perfetto_trace.json.gz"))
+    if not paths:
+        raise FileNotFoundError(f"no perfetto trace under {logdir}")
+    evs = _json.loads(gzip.open(paths[-1]).read())["traceEvents"]
+    dev_pids = {e["pid"] for e in evs
+                if e.get("ph") == "M" and e.get("name") == "process_name"
+                and "TPU" in str(e.get("args", {}).get("name", ""))}
+    op_tids = {(e["pid"], e["tid"]) for e in evs
+               if e.get("ph") == "M" and e.get("name") == "thread_name"
+               and e.get("args", {}).get("name") == "XLA Ops"
+               and e["pid"] in dev_pids}
+    tot = collections.Counter()
+    calls = collections.Counter()
+    for e in evs:
+        if (e.get("ph") == "X"
+                and (e.get("pid"), e.get("tid")) in op_tids):
+            tot[e["name"]] += e.get("dur", 0.0)
+            calls[e["name"]] += 1
+    return [{"op": name, "total_us": round(us, 1), "calls": calls[name]}
+            for name, us in tot.most_common()]

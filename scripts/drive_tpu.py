@@ -272,6 +272,21 @@ def main() -> int:
           and np.array_equal(np.asarray(vcc)[: len(uq)],
                              np.bincount(gk, minlength=1 << 10)[uq]))
 
+    # round-5 FLOAT dense tier: fused count+bf16x2-sum histogram, vs a
+    # float64 oracle within the documented bound
+    gvf = (rng.standard_normal(n) * 100).astype(np.float32)
+    uk, tot, ng = group_reduce(jnp.asarray(gk), jnp.asarray(gvf),
+                               reduce="sum", groups=1 << 10)
+    reff = np.zeros(1 << 10, np.float64)
+    np.add.at(reff, gk, gvf.astype(np.float64))
+    absvf = np.zeros(1 << 10, np.float64)
+    np.add.at(absvf, gk, np.abs(gvf).astype(np.float64))
+    errf = np.abs(np.asarray(tot)[: len(uq)].astype(np.float64) - reff[uq])
+    check("group_reduce dense tier f32 (count+bf16x2-sum histogram)",
+          int(ng) == len(uq)
+          and np.array_equal(np.asarray(uk)[: len(uq)], uq)
+          and bool(np.all(errf <= absvf[uq] * 2**-14 + 1e-5)))
+
     # order statistics / ranking: tie-aware ranks (boundary algebra +
     # inverse-permutation restore), exact quantiles off the dispatched
     # sort, histogram through the dense bincount + group_reduce routes
