@@ -269,7 +269,10 @@ def main() -> int:
         k = c & np.uint32(1023)
         v = (c >> np.uint32(10)).astype(jnp.int32)
         _, red, _ = group_reduce(k, v, reduce="sum", groups=1024, size=1024)
-        return c ^ (red[0].astype(jnp.uint32) & np.uint32(1)) ^ np.uint32(1)
+        # consume EVERY group's sum so no part of the reduction is dead code
+        dep = jnp.bitwise_xor.reduce(lax.bitcast_convert_type(
+            red, jnp.uint32)) & np.uint32(1)
+        return c ^ dep ^ np.uint32(1)
 
     dt_group = steady_rate(group_once, x, 8)
     _mark(state, "group-by measured")
