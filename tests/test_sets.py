@@ -498,6 +498,14 @@ def test_group_reduce_dense_f32(vdtype, reduce, rng):
     uk_h, rv_h, ng_h = group_reduce(k, v.astype(np.float64), reduce=reduce,
                                     groups=G)
     assert np.allclose(np.asarray(rv_h)[:m], want, rtol=1e-9, atol=1e-9)
+    # descending key order through the same tier
+    cfg = SortConfig(descending=True)
+    uk_r, rv_r, ng_r = group_reduce(k, v, reduce=reduce, groups=G,
+                                    config=cfg)
+    assert int(ng_r) == m
+    assert np.array_equal(np.asarray(uk_r)[:m], ids[::-1])
+    assert np.allclose(np.asarray(rv_r)[:m], want[::-1],
+                       rtol=1e-3, atol=1e-3)
 
 
 def test_group_reduce_dense_mod32_wrap(rng):
