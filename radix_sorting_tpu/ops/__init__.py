@@ -9,4 +9,5 @@ from . import (  # noqa: F401
     lsd_engine,
     probes,
     scan,
+    vmem_sort,
 )
