@@ -56,6 +56,7 @@ from .stats import (
 )
 from .sets import (
     UniqueResult,
+    in1d,
     intersect1d,
     isin,
     setdiff1d,
@@ -98,6 +99,7 @@ __all__ = [
     "unique_all",
     "UniqueResult",
     "isin",
+    "in1d",
     "union1d",
     "intersect1d",
     "setdiff1d",

@@ -551,11 +551,16 @@ def setxor1d(a, b, *, size: Optional[int] = None,
     return _binary_setop(a, b, "xor", size, config)
 
 
-def isin(element, test, *, config: SortConfig = DEFAULT_CONFIG):
+def isin(element, test, *, assume_unique: bool = False,
+         invert: bool = False, config: SortConfig = DEFAULT_CONFIG):
     """Per-element membership of ``element`` in ``test`` (``np.isin``, 1-D).
 
     Membership is bitwise under the KDF total order (a NaN query matches
-    only a bit-identical NaN). Returns a bool array of ``len(element)``.
+    only a bit-identical NaN). Returns a bool array of ``len(element)``;
+    ``invert=True`` negates it in-graph (``np.isin``'s kwarg).
+    ``assume_unique`` is accepted for signature compatibility and ignored:
+    the two-sort prefix-algebra formulation is already duplicate-oblivious,
+    so the hint buys nothing here (numpy uses it to skip a dedup pass).
 
     TPU design: TWO fused sorts total, no gathers. Sort 1 orders the tagged
     concatenation by ``(value, index)`` with test indices in ``[0, n)`` and
@@ -575,12 +580,13 @@ def isin(element, test, *, config: SortConfig = DEFAULT_CONFIG):
     if jnp.dtype(_dtype_of(element)) != jnp.dtype(_dtype_of(test)):
         raise TypeError(f"isin inputs must share a dtype, got "
                         f"{_dtype_of(element)} and {_dtype_of(test)}")
+    del assume_unique  # duplicate-oblivious formulation; hint not needed
     q = int(jnp.shape(element)[0])
     n = int(jnp.shape(test)[0])
     if q == 0:
         return jnp.zeros((0,), jnp.bool_)
     if n == 0:
-        return jnp.zeros((q,), jnp.bool_)
+        return jnp.full((q,), invert, jnp.bool_)
     ew, _ = _as_words(element, config.descending)
     tw, _ = _as_words(test, config.descending)
     words = tuple(jnp.concatenate([t, e]) for t, e in zip(tw, ew))
@@ -593,6 +599,13 @@ def isin(element, test, *, config: SortConfig = DEFAULT_CONFIG):
     is_new = jnp.concatenate([jnp.ones((1,), jnp.bool_), _neq_prev(sw)])
     t_before = jnp.concatenate([jnp.zeros((1,), T.dtype), T[:-1]])
     U = jax.lax.cummax(jnp.where(is_new, t_before, 0), axis=0)
-    member = T > U
+    member = (T <= U) if invert else (T > U)
     _, (restored,) = hw_engine.sort_words((sidx,), (member,), stable=True)
     return restored[n:]
+
+
+def in1d(ar1, ar2, *, assume_unique: bool = False, invert: bool = False,
+         config: SortConfig = DEFAULT_CONFIG):
+    """Legacy ``np.in1d`` spelling of :func:`isin` (numpy < 2.0 callers)."""
+    return isin(ar1, ar2, assume_unique=assume_unique, invert=invert,
+                config=config)

@@ -339,6 +339,22 @@ def test_isin_empty(rng):
     assert isin(jnp.zeros((0,), jnp.int32), jnp.asarray(el)).shape == (0,)
 
 
+def test_isin_invert_and_in1d(rng):
+    from radix_sorting_tpu import in1d
+    el = rng.integers(0, 1000, size=8_000, dtype=np.uint32)
+    te = rng.integers(500, 1500, size=4_000, dtype=np.uint32)
+    want = np.isin(el, te, invert=True)
+    got = np.asarray(isin(jnp.asarray(el), jnp.asarray(te), invert=True))
+    assert np.array_equal(got, want)
+    # in1d is the legacy alias; assume_unique is accepted and semantics-free
+    got2 = np.asarray(in1d(el, te, assume_unique=True, invert=True))
+    assert np.array_equal(got2, want)
+    assert np.array_equal(np.asarray(in1d(el, te)), np.isin(el, te))
+    # empty-test invert: everything is a non-member
+    empty = jnp.zeros((0,), jnp.uint32)
+    assert np.asarray(isin(jnp.asarray(el), empty, invert=True)).all()
+
+
 # ------------------------------------------------------------- group_reduce
 
 def _np_group(keys, values, reduce):
