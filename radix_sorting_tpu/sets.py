@@ -134,9 +134,26 @@ def _unique_core(words, n: int, size: int, decode_rep,
     return UniqueResult(values, index, inverse, counts, num_unique)
 
 
+def _collapse_nans(x):
+    """Map every NaN in a float array to the dtype's canonical quiet NaN.
+
+    The ``equal_nan=True`` preprocessing: after this, all NaNs are
+    bit-identical, so the bitwise KDF total order collapses them into one
+    run exactly like ``np.unique``'s NaN-aware tail merge. Host numpy
+    arrays canonicalize on host (keeps the no-x64 float64 plane path
+    intact); everything else canonicalizes in-graph.
+    """
+    dt = _dtype_of(x)
+    if not jnp.issubdtype(jnp.dtype(dt), jnp.floating):
+        return x
+    if isinstance(x, np.ndarray):
+        return np.where(np.isnan(x), np.array(np.nan, x.dtype), x)
+    return jnp.where(jnp.isnan(x), jnp.asarray(jnp.nan, dt), x)
+
+
 def unique(x, *, return_index: bool = False, return_inverse: bool = False,
            return_counts: bool = False, size: Optional[int] = None,
-           axis: Optional[int] = None,
+           axis: Optional[int] = None, equal_nan: bool = False,
            config: SortConfig = DEFAULT_CONFIG,
            index_dtype=jnp.uint32) -> UniqueResult:
     """``np.unique`` with the full flag surface, fixed-shape and jittable.
@@ -169,7 +186,17 @@ def unique(x, *, return_index: bool = False, return_inverse: bool = False,
     Equality is bitwise under the KDF order like 1-D :func:`unique`
     (numpy's axis path instead collapses ``-0.0 == 0.0`` while keeping
     bit-identical NaN rows distinct — a void-view artifact).
+
+    ``equal_nan=True`` collapses ALL NaNs (any payload or sign) into one
+    — ``np.unique``'s default since numpy 1.24, done here by canonicalizing
+    NaNs in-graph before the sort so index/inverse/counts semantics follow
+    for free (``index`` is the first NaN's position, numpy-style). The
+    default is ``False`` because this framework's documented contract is
+    the bitwise KDF total order (distinct NaN payloads are distinct keys);
+    pass ``True`` for drop-in numpy behavior on float data.
     """
+    if equal_nan:
+        x = _collapse_nans(x)
     if axis is not None:
         return _unique_rows(x, axis, return_index, return_inverse,
                             return_counts, size, config, index_dtype)

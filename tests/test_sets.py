@@ -100,6 +100,45 @@ def test_unique_bitwise_zero_semantics():
     assert np.array_equal(np.asarray(r.counts)[:3], [2, 2, 1])
 
 
+def test_unique_equal_nan(rng):
+    # equal_nan=True collapses every NaN payload/sign into ONE (numpy's
+    # 1.24+ default); equal_nan=False keeps the bitwise KDF contract
+    nan_payloads = np.array([0x7FC00000, 0x7FC00001, 0xFFC00000,
+                             0x7F800001], np.uint32).view(np.float32)
+    base = np.round(rng.standard_normal(500).astype(np.float32), 2) + 9.0
+    x = np.concatenate([base, np.tile(nan_payloads, 3)])
+    rng.shuffle(x)
+    r = unique(jnp.asarray(x), return_index=True, return_counts=True,
+               equal_nan=True)
+    want = np.unique(x[~np.isnan(x)])
+    m = int(r.num_unique)
+    assert m == len(want) + 1
+    got = np.asarray(r.values)[:m]
+    assert np.array_equal(got[:-1], want) and np.isnan(got[-1])
+    assert int(np.asarray(r.counts)[m - 1]) == 12      # all NaNs, one run
+    first_nan = int(np.flatnonzero(np.isnan(x))[0])    # numpy index rule
+    assert int(np.asarray(r.index)[m - 1]) == first_nan
+    # inverse reconstructs x up to NaN identity
+    r2 = unique(jnp.asarray(x), return_inverse=True, equal_nan=True)
+    rec = np.asarray(r2.values)[np.asarray(r2.inverse)]
+    assert np.array_equal(rec, x, equal_nan=True)
+    # default stays bitwise: 4 distinct NaN payloads survive
+    r3 = unique(jnp.asarray(x), return_counts=True)
+    assert int(r3.num_unique) == len(want) + 4
+    # int dtypes: equal_nan is a no-op
+    xi = rng.integers(0, 99, size=1_000, dtype=np.int32)
+    ri = unique(jnp.asarray(xi), equal_nan=True)
+    assert np.array_equal(np.asarray(ri.values)[: int(ri.num_unique)],
+                          np.unique(xi))
+    # numpy float64 host path (no x64): canonicalized on host
+    xf64 = np.concatenate([base.astype(np.float64),
+                           np.array([np.nan, -np.nan, np.nan])])
+    r64 = unique(xf64, return_counts=True, equal_nan=True)
+    m64 = int(r64.num_unique)
+    assert m64 == len(np.unique(base.astype(np.float64))) + 1
+    assert int(np.asarray(r64.counts)[m64 - 1]) == 3
+
+
 def test_unique_empty_and_jit(rng):
     r = unique(jnp.zeros((0,), jnp.uint32), return_inverse=True,
                return_counts=True, size=4)
