@@ -239,8 +239,11 @@ def main() -> int:
           int(cnt) == len(want)
           and np.array_equal(np.asarray(vals)[: len(want)], want))
     got = np.asarray(isin(jnp.asarray(sa[:100_000]), jnp.asarray(sb[:100_000])))
+    gotv = np.asarray(isin(jnp.asarray(sa[:100_000]), jnp.asarray(sb[:100_000]),
+                           invert=True))
     check("isin (membership via searchsorted)",
-          np.array_equal(got, np.isin(sa[:100_000], sb[:100_000])))
+          np.array_equal(got, np.isin(sa[:100_000], sb[:100_000]))
+          and np.array_equal(gotv, ~got))
 
     # group-by reduction: one unstable (key, value) composite sort
     from radix_sorting_tpu.extras import group_reduce

@@ -340,6 +340,21 @@ def test_soak_set_routines(seed):
 
     got = np.asarray(sets.isin(aj, bj))
     assert np.array_equal(got, np.isin(a, b))
+    gotv = np.asarray(sets.isin(aj, bj, invert=True))
+    assert np.array_equal(gotv, ~got)
+
+    if kd is np.float32:
+        # equal_nan sweep: inject NaNs of random payloads, expect one run
+        payloads = (r.integers(1, 1 << 22, size=4).astype(np.uint32)
+                    | np.uint32(0x7F800000)).view(np.float32)
+        an = np.concatenate([a, np.tile(payloads, 3)])
+        r.shuffle(an)
+        res = sets.unique(jnp.asarray(an), return_counts=True, equal_nan=True)
+        kn = int(res.num_unique)
+        want = np.unique(an[~np.isnan(an)])
+        assert kn == len(want) + 1
+        assert np.isnan(np.asarray(res.values)[kn - 1])
+        assert int(np.asarray(res.counts)[kn - 1]) == 12
 
 
 @pytest.mark.parametrize("seed", range(10))
