@@ -148,7 +148,8 @@ def _collapse_nans(x):
         return x
     if isinstance(x, np.ndarray):
         return np.where(np.isnan(x), np.array(np.nan, x.dtype), x)
-    return jnp.where(jnp.isnan(x), jnp.asarray(jnp.nan, dt), x)
+    x = jnp.asarray(x)  # lists/tuples: same conversion the sort path does
+    return jnp.where(jnp.isnan(x), jnp.asarray(jnp.nan, x.dtype), x)
 
 
 def unique(x, *, return_index: bool = False, return_inverse: bool = False,

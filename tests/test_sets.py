@@ -137,6 +137,11 @@ def test_unique_equal_nan(rng):
     m64 = int(r64.num_unique)
     assert m64 == len(np.unique(base.astype(np.float64))) + 1
     assert int(np.asarray(r64.counts)[m64 - 1]) == 3
+    # plain-list input (pre-array callers) survives the canonicalization
+    rl = unique([3.0, float("nan"), 1.0, float("nan")], equal_nan=True,
+                return_counts=True)
+    assert int(rl.num_unique) == 3
+    assert int(np.asarray(rl.counts)[2]) == 2
 
 
 def test_unique_empty_and_jit(rng):
